@@ -1,0 +1,179 @@
+"""Spatial (6D) rigid-body algebra in JAX — TPU-first layout.
+
+This is the math core of the physics engine that replaces the reference's
+external PhysX dependency (see SURVEY.md §2.9; the reference has no physics
+source, only the call surface in legged_robot.py:755-784).
+
+Conventions (Featherstone, "Rigid Body Dynamics Algorithms"):
+  - motion vector  m = [omega(3); v(3)]
+  - force  vector  f = [n(3); f(3)]          (torque about frame origin first)
+  - spatial inertia I is 6x6 about the body-frame origin.
+
+TPU-first layout: ALL arrays put vector/matrix component axes FIRST and the
+environment batch axis LAST:  motion (6, N), rotation (3, 3, N), inertia
+(6, 6, N).  The trailing N axis maps onto the 128-wide VPU lanes with no
+padding waste; a (N, 6) layout would waste ~95% of each (8,128) f32 tile and
+force relayouts around every op.  Static per-robot constants stay as plain
+numpy and broadcast over the trailing axis.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def cross3(a, b):
+    """Cross product over leading component axis: (3, ...) x (3, ...)."""
+    return jnp.stack(
+        [
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ]
+    )
+
+
+def rmul(R, v):
+    """(3,3,...) @ (3,...) -> (3,...). R maps coords; batch trails."""
+    return jnp.einsum("ij...,j...->i...", R, v)
+
+
+def rtmul(R, v):
+    """R^T @ v with trailing batch."""
+    return jnp.einsum("ji...,j...->i...", R, v)
+
+
+def mmul(A, B):
+    """(r,k,...) @ (k,c,...) -> (r,c,...)."""
+    return jnp.einsum("ik...,kj...->ij...", A, B)
+
+
+# ---------------------------------------------------------------------------
+# Spatial coordinate transforms.
+#
+# A child frame c has origin r (expressed in parent coords) and rotation
+# E = c_R_p (maps parent coords -> child coords).  The motion transform
+# cXp = [[E, 0], [-E r^, E]] maps motion vectors from parent to child coords;
+# the force transform is its inverse-transpose.
+# ---------------------------------------------------------------------------
+
+def xm_apply(E, r, m):
+    """Motion vector: parent coords -> child coords. m: (6, ...)."""
+    w, v = m[:3], m[3:]
+    wc = rmul(E, w)
+    vc = rmul(E, v - cross3(r, w))
+    return jnp.concatenate([wc, vc])
+
+
+def xm_inv_apply(E, r, m):
+    """Motion vector: child coords -> parent coords."""
+    w, v = m[:3], m[3:]
+    wp = rtmul(E, w)
+    vp = rtmul(E, v) + cross3(r, wp)
+    return jnp.concatenate([wp, vp])
+
+
+def xf_apply(E, r, f):
+    """Force vector: parent coords -> child coords."""
+    n, ff = f[:3], f[3:]
+    fc = rmul(E, ff)
+    nc = rmul(E, n - cross3(r, ff))
+    return jnp.concatenate([nc, fc])
+
+
+def xf_inv_apply(E, r, f):
+    """Force vector: child coords -> parent coords."""
+    n, ff = f[:3], f[3:]
+    fp = rtmul(E, ff)
+    np_ = rtmul(E, n) + cross3(r, fp)
+    return jnp.concatenate([np_, fp])
+
+
+def crm(v, m):
+    """Motion cross product  v x m  (both (6, ...))."""
+    w, vl = v[:3], v[3:]
+    mw, mv = m[:3], m[3:]
+    return jnp.concatenate([cross3(w, mw), cross3(vl, mw) + cross3(w, mv)])
+
+
+def crf(v, f):
+    """Force cross product  v x* f."""
+    w, vl = v[:3], v[3:]
+    n, ff = f[:3], f[3:]
+    return jnp.concatenate([cross3(w, n) + cross3(vl, ff), cross3(w, ff)])
+
+
+def motion_xform_matrix(E, r):
+    """Build the 6x6 motion transform cXp = [[E,0],[-E r^, E]], trailing batch.
+
+    E: (3,3,...), r: (3,...) -> (6,6,...).
+    """
+    batch = jnp.broadcast_shapes(E.shape[2:], r.shape[1:])
+    Eb = jnp.broadcast_to(E, (3, 3) + batch)
+    zero = jnp.zeros((3, 3) + batch, dtype=Eb.dtype)
+    rb = jnp.broadcast_to(r, (3,) + batch)
+    rx, ry, rz = rb[0], rb[1], rb[2]
+    z = jnp.zeros(batch, dtype=Eb.dtype)
+    rhat = jnp.stack([
+        jnp.stack([z, -rz, ry]),
+        jnp.stack([rz, z, -rx]),
+        jnp.stack([-ry, rx, z]),
+    ])
+    nErh = -mmul(Eb, jnp.broadcast_to(rhat, (3, 3) + batch))
+    top = jnp.concatenate([Eb, zero], axis=1)
+    bot = jnp.concatenate([nErh, Eb], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def inertia_transform_to_parent(E, r, I_c):
+    """Articulated inertia: child coords -> parent coords.
+
+    I^p = X^T I^c X with X = cXp (see Featherstone 2.66).
+    I_c: (6,6,...) -> (6,6,...).
+    """
+    X = motion_xform_matrix(E, r)
+    return jnp.einsum("ki...,kl...,lj...->ij...", X, I_c, X)
+
+
+def spatial_inertia(mass, com, inertia_com):
+    """Spatial inertia (6,6) about the body origin from mass/COM/I_com.
+
+    mass: (...), com: (3, ...), inertia_com: (3,3,...).
+    I = [[I_com + m c^ c^T, m c^], [m c^T, m 1]].
+    """
+    cx, cy, cz = com[0], com[1], com[2]
+    z = jnp.zeros_like(cx)
+    chat = jnp.stack([
+        jnp.stack([z, -cz, cy]),
+        jnp.stack([cz, z, -cx]),
+        jnp.stack([-cy, cx, z]),
+    ])
+    m_chat = mass * chat
+    top_left = inertia_com + mmul(m_chat, jnp.swapaxes(chat, 0, 1))
+    top = jnp.concatenate([top_left, m_chat], axis=1)
+    eye = jnp.zeros_like(chat).at[0, 0].set(1.0).at[1, 1].set(1.0).at[2, 2].set(1.0)
+    bot = jnp.concatenate([jnp.swapaxes(m_chat, 0, 1), mass * eye], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def imul(I, m):
+    """(6,6,...) @ (6,...) -> (6,...)."""
+    return jnp.einsum("ij...,j...->i...", I, m)
+
+
+def axis_rotation(axis, q):
+    """Rodrigues rotation about a fixed unit axis by batched angle q.
+
+    axis: (3,) static; q: (...) -> R (3,3,...) with R @ v rotating v by +q
+    about axis (child-axes-in-parent-coords when used as a joint rotation).
+    """
+    ax = jnp.asarray(axis, dtype=q.dtype)
+    c, s = jnp.cos(q), jnp.sin(q)
+    x, y, z = ax[0], ax[1], ax[2]
+    one = jnp.ones_like(q)
+    C = 1.0 - c
+    R = jnp.stack([
+        jnp.stack([c + x * x * C, x * y * C - z * s, x * z * C + y * s]),
+        jnp.stack([y * x * C + z * s, c + y * y * C, y * z * C - x * s]),
+        jnp.stack([z * x * C - y * s, z * y * C + x * s, c + z * z * C]),
+    ])
+    return R * jnp.ones_like(one)

@@ -1,0 +1,331 @@
+"""Config schema — frozen dataclasses mirroring LeggedRobotCfg.
+
+The reference uses nested Python classes with inheritance, recursively
+instantiated (base_config.py:3-27, legged_robot_config.py:3-226).  Here the
+same schema is frozen dataclasses (hashable -> usable as jit static args);
+per-task configs (tasks/*.py) build them with dataclasses.replace-style
+overrides.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import field
+from typing import Tuple
+
+from ..physics.engine import SimParams
+
+
+def _t(x):
+    return tuple(x)
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvCfg:
+    # legged_robot_config.py:4-14
+    num_envs: int = 4096
+    num_observations: int = 53
+    num_privileged_obs: int = 693 + 3 + 693
+    num_actions: int = 12
+    num_observation_history: int = 5
+    episode_length_s: float = 20.0
+    send_timeouts: bool = True
+    env_spacing: float = 1.0
+    play_command: bool = False        # play_commond, lite3_dtc_config.py:15
+
+
+@dataclasses.dataclass(frozen=True)
+class TerrainCfg:
+    # legged_robot_config.py:16-58 / lite3_dtc_config.py:20-52
+    mesh_type: str = "heightfield"     # none | plane | heightfield
+    horizontal_scale: float = 0.05
+    vertical_scale: float = 0.005
+    border_size: float = 20.0
+    curriculum: bool = True
+    static_friction: float = 1.0
+    dynamic_friction: float = 1.0
+    restitution: float = 0.0
+    measure_heights: bool = True
+    measured_points_x: Tuple[float, ...] = _t(
+        round(-0.8 + 0.05 * i, 2) for i in range(33))
+    measured_points_y: Tuple[float, ...] = _t(
+        round(-0.5 + 0.05 * i, 2) for i in range(21))
+    max_init_terrain_level: int = 5
+    terrain_length: float = 8.0
+    terrain_width: float = 8.0
+    num_rows: int = 6
+    num_cols: int = 2
+    terrain_proportions: Tuple[float, ...] = (0.0, 0.0, 0.2, 0.2, 0.2, 0.4)
+    slope_treshold: float = 0.75
+    measure_foot_clearance: bool = True
+
+    @property
+    def measured_x_dim(self) -> int:
+        return len(self.measured_points_x)
+
+    @property
+    def measured_y_dim(self) -> int:
+        return len(self.measured_points_y)
+
+    @property
+    def num_height_points(self) -> int:
+        return self.measured_x_dim * self.measured_y_dim
+
+
+@dataclasses.dataclass(frozen=True)
+class CommandRanges:
+    lin_vel_x: Tuple[float, float] = (-0.75, 0.75)
+    lin_vel_y: Tuple[float, float] = (-0.75, 0.75)
+    ang_vel_yaw: Tuple[float, float] = (-0.5, 0.5)
+    heading: Tuple[float, float] = (-3.14, 3.14)
+
+
+@dataclasses.dataclass(frozen=True)
+class CommandsCfg:
+    # legged_robot_config.py:62-74
+    curriculum: bool = False
+    max_curriculum: float = 1.0
+    num_commands: int = 4
+    resampling_time: float = 10.0
+    heading_command: bool = True
+    ranges: CommandRanges = field(default_factory=CommandRanges)
+
+
+@dataclasses.dataclass(frozen=True)
+class InitStateCfg:
+    # legged_robot_config.py:76-83 / lite3_dtc_config.py:56-73
+    pos: Tuple[float, float, float] = (0.0, 0.0, 0.4)
+    rot: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
+    lin_vel: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    ang_vel: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # (joint name, default angle) pairs, ordered like the robot's joints
+    default_joint_angles: Tuple[Tuple[str, float], ...] = ()
+
+
+@dataclasses.dataclass(frozen=True)
+class ControlCfg:
+    # legged_robot_config.py:85-93
+    control_type: str = "P"
+    stiffness: Tuple[Tuple[str, float], ...] = (("joint", 25.0),)
+    damping: Tuple[Tuple[str, float], ...] = (("joint", 0.5),)
+    action_scale: float = 0.25
+    decimation: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class AssetCfg:
+    # legged_robot_config.py:95-117
+    robot: str = "lite3"             # registry key or URDF path
+    foot_name: str = "FOOT"
+    thigh_name: str = "THIGH"
+    penalize_contacts_on: Tuple[str, ...] = ("TORSO", "THIGH", "SHANK")
+    terminate_after_contacts_on: Tuple[str, ...] = ()
+    collision_state: Tuple[str, ...] = ("TORSO", "THIGH", "SHANK")
+    self_collisions: int = 0
+    fix_base_link: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class DomainRandCfg:
+    # legged_robot_config.py:120-144
+    randomize_friction: bool = True
+    friction_range: Tuple[float, float] = (0.5, 1.25)
+    randomize_restitution: bool = True
+    restitution_range: Tuple[float, float] = (0.0, 1.0)
+    randomize_base_mass: bool = False
+    added_mass_range: Tuple[float, float] = (-1.0, 1.0)
+    push_robots: bool = True
+    push_interval_s: float = 15.0
+    max_push_vel_xy: float = 1.0
+    max_push_force_xy: float = 0.0
+    max_push_force_offset: float = 0.1
+    randomize_link_mass: bool = False
+    link_mass_range: Tuple[float, float] = (0.95, 1.05)
+    randomize_motor_strength: bool = True
+    motor_strength: Tuple[float, float] = (0.9, 1.1)
+    randomize_kp_factor: bool = False
+    kp_range: Tuple[float, float] = (0.95, 1.05)
+    randomize_kd_factor: bool = False
+    kd_range: Tuple[float, float] = (0.95, 1.05)
+    init_joint_range: Tuple[float, float] = (0.5, 1.5)
+    lag_timesteps: int = 6            # action lag buffer depth (legged_robot.py:827)
+
+
+@dataclasses.dataclass(frozen=True)
+class RewardScales:
+    """Reward term -> scale; zero scale = term disabled (legged_robot.py:934).
+
+    Defaults are the Lite3 DTC task scales (lite3_dtc_config.py:141-181).
+    """
+    termination: float = -0.1
+    tracking_lin_vel: float = 0.0
+    tracking_ang_vel: float = 0.0
+    soft_tracking_lin_vel: float = 2.0
+    soft_tracking_ang_vel: float = 0.5
+    orientation: float = -0.5
+    feet_air_time: float = 1.0
+    torques: float = -0.000001
+    dof_pos_limits: float = -10.0
+    dof_acc: float = -2.5e-8
+    dof_vel: float = 0.0
+    collision: float = -1.5
+    stand_still: float = -0.2
+    base_height: float = -4.0
+    foothold_miss: float = -0.05
+    action_rate: float = -0.01
+    ang_vel_xy: float = -0.01
+    lin_vel_z: float = -1.0
+    foot_clearance: float = -0.01
+    feet_slip: float = -0.05
+    hip_pos: float = -0.04
+    power: float = -6e-7
+    powerchange: float = -0.005
+    pos_acc: float = -0.005
+    foot_acc: float = -0.007
+    smooth: float = -0.003
+    tracking_optimal_footholds: float = 1.0
+    feet_stumble: float = 0.0
+    feet_contact_forces: float = 0.0
+    big_pitch: float = 0.0
+    stumble: float = 0.0
+    dof_vel_limits: float = 0.0
+    torque_limits: float = 0.0
+    orientation_roll: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RewardsCfg:
+    # legged_robot_config.py:145-179 / lite3_dtc_config.py:136-140
+    scales: RewardScales = field(default_factory=RewardScales)
+    only_positive_rewards: bool = False
+    tracking_sigma: float = 0.25
+    soft_dof_pos_limit: float = 0.9
+    soft_dof_vel_limit: float = 1.0
+    soft_torque_limit: float = 1.0
+    base_height_target: float = 0.32
+    max_contact_force: float = 100.0
+    max_acc: float = 100.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ObsScales:
+    # legged_robot_config.py:182-188
+    lin_vel: float = 2.0
+    ang_vel: float = 0.25
+    dof_pos: float = 1.0
+    dof_vel: float = 0.05
+    height_measurements: float = 5.0
+    force: float = 0.005
+
+
+@dataclasses.dataclass(frozen=True)
+class NormalizationCfg:
+    obs_scales: ObsScales = field(default_factory=ObsScales)
+    clip_observations: float = 100.0
+    clip_actions: float = 100.0
+
+
+@dataclasses.dataclass(frozen=True)
+class NoiseScales:
+    # legged_robot_config.py:195-201
+    dof_pos: float = 0.01
+    dof_vel: float = 1.5
+    lin_vel: float = 0.1
+    ang_vel: float = 0.2
+    gravity: float = 0.05
+    height_measurements: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class NoiseCfg:
+    add_noise: bool = True
+    noise_level: float = 1.0
+    noise_scales: NoiseScales = field(default_factory=NoiseScales)
+
+
+@dataclasses.dataclass(frozen=True)
+class TaskCfg:
+    """Full task configuration (LeggedRobotCfg analog)."""
+    env: EnvCfg = field(default_factory=EnvCfg)
+    terrain: TerrainCfg = field(default_factory=TerrainCfg)
+    commands: CommandsCfg = field(default_factory=CommandsCfg)
+    init_state: InitStateCfg = field(default_factory=InitStateCfg)
+    control: ControlCfg = field(default_factory=ControlCfg)
+    asset: AssetCfg = field(default_factory=AssetCfg)
+    domain_rand: DomainRandCfg = field(default_factory=DomainRandCfg)
+    rewards: RewardsCfg = field(default_factory=RewardsCfg)
+    normalization: NormalizationCfg = field(default_factory=NormalizationCfg)
+    noise: NoiseCfg = field(default_factory=NoiseCfg)
+    sim: SimParams = field(default_factory=SimParams)
+    use_dtc_planner: bool = True      # LeggedRobotDTC vs LeggedRobot path
+
+    @property
+    def dt(self) -> float:
+        """Policy dt = decimation * sim dt (legged_robot.py:1231)."""
+        return self.control.decimation * self.sim.dt
+
+    @property
+    def max_episode_length(self) -> int:
+        import math
+        return int(math.ceil(self.env.episode_length_s / self.dt))
+
+    @property
+    def push_interval(self) -> int:
+        import math
+        return int(math.ceil(self.domain_rand.push_interval_s / self.dt))
+
+
+# --- PPO / runner side (LeggedRobotCfgPPO analog) ---------------------------
+
+@dataclasses.dataclass(frozen=True)
+class PolicyCfg:
+    # legged_robot_config.py:231-239 + actor_critic_decoder.py AC_Args
+    init_noise_std: float = 1.0
+    actor_hidden_dims: Tuple[int, ...] = (512, 256, 128)
+    critic_hidden_dims: Tuple[int, ...] = (512, 256, 128)
+    activation: str = "elu"
+    terrain_latent: int = 512
+    cenet_latent: int = 16            # z dim; mu is 3 (vel) + 16
+    policy_class_name: str = "ActorCriticDecoder"
+    rnn_type: str = "gru"
+    rnn_hidden_size: int = 256
+    rnn_num_layers: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class AlgorithmCfg:
+    # legged_robot_config.py:241-254
+    value_loss_coef: float = 1.0
+    use_clipped_value_loss: bool = True
+    clip_param: float = 0.2
+    entropy_coef: float = 0.003
+    num_learning_epochs: int = 5
+    num_mini_batches: int = 4
+    learning_rate: float = 1.0e-3
+    vae_learning_rate: float = 5.0e-4     # ppo.py:79
+    schedule: str = "adaptive"
+    gamma: float = 0.99
+    lam: float = 0.95
+    desired_kl: float = 0.01
+    max_grad_norm: float = 1.0
+    kld_weight: float = 4.0               # ppo.py:247
+
+
+@dataclasses.dataclass(frozen=True)
+class RunnerCfg:
+    # legged_robot_config.py:256-270
+    num_steps_per_env: int = 24
+    max_iterations: int = 20000
+    save_interval: int = 50
+    experiment_name: str = "lite3_dtc"
+    run_name: str = ""
+    resume: bool = False
+    load_run: str = "-1"
+    checkpoint: int = -1
+    seed: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainCfg:
+    policy: PolicyCfg = field(default_factory=PolicyCfg)
+    algorithm: AlgorithmCfg = field(default_factory=AlgorithmCfg)
+    runner: RunnerCfg = field(default_factory=RunnerCfg)

@@ -1,0 +1,115 @@
+"""DTC foothold planner — pure tensor kernel fused into the env step.
+
+Capability parity with the planner block of LeggedRobotDTC.post_physics_step
+(legged_robot_dtc.py:100-204): nominal footholds from shoulder projection +
+Raibert-style symmetry, terrain scoring (slope/roughness/edge), distance to
+nominal, argmin selection per leg, and the 8-d foothold observation.
+
+All arrays are env-leading (N, ...) here — this is network/obs-layer code.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops import quat as qm
+
+
+def rotate_positions_z(vecs, thetas):
+    """Rotate (N,4,3) vectors about z by per-env angles (N,)
+    (legged_robot_dtc.py:36-54)."""
+    c = jnp.cos(thetas)[:, None]
+    s = jnp.sin(thetas)[:, None]
+    x, y, z = vecs[..., 0], vecs[..., 1], vecs[..., 2]
+    return jnp.stack([c * x - s * y, s * x + c * y, z], axis=-1)
+
+
+def plan_footholds(cfg, base_pos, base_quat, base_lin_vel, commands,
+                   hip_positions, measured_heights, height_points,
+                   measured_points_x, measured_points_y):
+    """Compute the optimal-foothold observation and world targets.
+
+    Args (env-leading):
+      base_pos (N,3) world; base_quat (N,4) xyzw; base_lin_vel (N,3) BODY
+      frame (matches reference use of self.base_lin_vel at
+      legged_robot_dtc.py:111); commands (N,4); hip_positions (N,4,3) world
+      thigh positions (thigh_indices bodies, legged_robot_dtc.py:100);
+      measured_heights (N,H) world-z at the scan points; height_points (H,3)
+      base-frame scan grid; measured_points_x/y: static tuples.
+
+    Returns dict(foothold_obs (N,8), optimal_footholds_world (N,4,3),
+                 foothold_score (N,H,4), heights_world (N,H,3),
+                 pred_footholds (N,4,3)).
+    """
+    N = base_pos.shape[0]
+    H = measured_heights.shape[1]
+    nx = len(measured_points_x)
+    ny = len(measured_points_y)
+
+    # --- nominal footholds (legged_robot_dtc.py:103-115)
+    hip_to_base = hip_positions - base_pos[:, None, :]
+    yaw_vel_cmd = commands[:, 2]
+    p_shoulder = base_pos[:, None, :] + rotate_positions_z(hip_to_base, yaw_vel_cmd)
+    t_stance = cfg.dt                      # sim.dt * decimation (:107)
+    fdbk_gain_k = 0.03
+    cmd_lin_vel = jnp.concatenate(
+        [commands[:, :2], jnp.zeros((N, 1), dtype=commands.dtype)], axis=1)
+    v = base_lin_vel[:, None, :]
+    p_symmetric = t_stance / 2.0 * v + fdbk_gain_k * (v - cmd_lin_vel[:, None, :])
+    pred_footholds = p_shoulder + p_symmetric          # (N,4,3)
+
+    # --- terrain scoring (legged_robot_dtc.py:124-148)
+    rel = measured_heights - base_pos[:, 2:3]
+    grid = rel.reshape(N, nx, ny)
+    exception = (grid > 1.0) | (grid < -1.0)
+    grid = jnp.clip(grid, -0.5, 0.5)
+    # torch.gradient semantics: central differences inside, one-sided at edges
+    spacing = 0.05                                     # (:134 note)
+    dx = jnp.gradient(grid, spacing, axis=1)
+    dy = jnp.gradient(grid, spacing, axis=2)
+    slope = jnp.sqrt(dx * dx + dy * dy)
+    h_mean = jnp.mean(grid, axis=(1, 2), keepdims=True)
+    roughness = jnp.abs(grid - h_mean)
+    edge = jnp.clip(jnp.sqrt(jnp.var(grid, axis=(1, 2))), 0.0, 0.3)
+    score = 0.2 * edge[:, None, None] + 1.0 * slope + 0.3 * roughness
+    score = score.reshape(N, H)
+    score = jnp.where(score < 0.1, score, 10.0)        # (:148)
+
+    # --- world-frame scan points (:152-156)
+    hp = jnp.broadcast_to(jnp.asarray(height_points, dtype=base_pos.dtype),
+                          (N, H, 3))
+    heights_world = qm.quat_apply_yaw(base_quat[:, None, :], hp) \
+        + base_pos[:, None, :]
+    heights_world = heights_world.at[:, :, 2].set(measured_heights)
+
+    # --- distance to nominal per leg (:158-170)
+    d = pred_footholds[:, None, :, :2] - heights_world[:, :, None, :2]
+    dis = jnp.linalg.norm(d, axis=-1)                  # (N,H,4)
+    dis = jnp.where(dis < 0.16, dis, 10.0)
+    total = score[:, :, None] * 0.2 + dis * 0.8
+    total = jnp.where(exception.reshape(N, H)[:, :, None], 10.0, total)
+
+    # --- argmin per leg (ktop=1, :179-201)
+    opt_idx = jnp.argmin(total, axis=1)                # (N,4)
+    x_idx = jnp.remainder(opt_idx, ny)                 # (:184) column index
+    y_idx = opt_idx // ny                              # (:185) row index
+    mpx = jnp.asarray(measured_points_x, dtype=base_pos.dtype)
+    mpy = jnp.asarray(measured_points_y, dtype=base_pos.dtype)
+    # Reference-parity quirk (legged_robot_dtc.py:184-192): the flat index is
+    # decoded as x <- remainder(i, y_dim), y <- i // y_dim, and the lookup
+    # tables are expanded with torch.repeat — which TILES them — so the
+    # y gather of indices up to 32 wraps modulo the 21-entry table.  The
+    # observation the policy actually sees is therefore
+    #   ( x_table[i % 21], y_table[(i // 21) % 21] ),
+    # reproduced here bit-for-bit rather than "fixed".
+    decoded_x = jnp.take(mpx, x_idx % nx)
+    decoded_y = jnp.take(mpy, y_idx % ny)
+    foothold_obs = jnp.concatenate([decoded_x, decoded_y], axis=1)  # (N,8)
+
+    optimal_footholds_world = jnp.take_along_axis(
+        heights_world, opt_idx[:, :, None], axis=1)    # (N,4,3)
+
+    return dict(foothold_obs=foothold_obs,
+                optimal_footholds_world=optimal_footholds_world,
+                foothold_score=total,
+                heights_world=heights_world,
+                pred_footholds=pred_footholds)

@@ -1,0 +1,285 @@
+"""Actor-critic networks (flax.linen) — ActorCriticDecoder family.
+
+Capability parity with rsl_rl/modules/actor_critic_decoder.py (the live
+teacher path) plus the baseline ActorCritic / ActorCriticRecurrent
+(actor_critic.py:38, actor_critic_recurrent.py:40).
+
+Architecture (dims from AC_Args, actor_critic_decoder.py:36-88,118-119):
+  Vae:
+    cenet_encoder  265 -> 128 -> 64            (ReLU)
+    latent_mu      64 -> 19  (3 vel + 16 z mean)
+    latent_var     64 -> 16  (log-variance)
+    cenet_decoder  (16+3+512) -> 64 -> 128 -> 53
+    terrain_encoder 693 -> 512 -> 512 -> 512
+    terrain_decoder 512 -> 512 -> 512 -> 693
+    memory_mlp     (265+512) -> 256 -> 128 -> 512
+  actor_body  (53+16+3+512) -> 512 -> 256 -> 128 -> 12   (ELU)
+  critic_body (53+3+3+693)=752 -> 512 -> 256 -> 128 -> 1 (ELU)
+  learned global std (12,), init 1.0 (:364)
+
+Weight init follows the reference: default (lecun-ish) for each stack's first
+Linear, orthogonal(gain 0.01) for the rest (layer_init, :268-272).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _activation(name: str):
+    return {"elu": nn.elu, "relu": nn.relu, "selu": nn.selu,
+            "crelu": nn.relu, "lrelu": nn.leaky_relu, "tanh": nn.tanh,
+            "sigmoid": nn.sigmoid}[name]
+
+
+class MLP(nn.Module):
+    """Stack with reference init: first layer default, rest orthogonal(0.01)."""
+    hidden: Sequence[int]
+    out: int
+    act: str = "relu"
+    final_act: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        act = _activation(self.act)
+        dims = list(self.hidden) + [self.out]
+        for i, d in enumerate(dims):
+            if i == 0:
+                x = nn.Dense(d)(x)
+            else:
+                x = nn.Dense(d, kernel_init=nn.initializers.orthogonal(0.01))(x)
+            if i < len(dims) - 1 or self.final_act:
+                x = act(x)
+        return x
+
+
+class Vae(nn.Module):
+    """CE-net + terrain autoencoder + belief memory MLP (Vae, :91-303)."""
+    num_obs: int = 53
+    obs_history_dim: int = 265
+    terrain_dim: int = 693
+    terrain_latent: int = 512
+    z_dim: int = 16
+
+    def setup(self):
+        self.cenet_encoder = MLP(hidden=(128,), out=64, act="relu",
+                                 name="cenet_encoder")
+        self.latent_mu = nn.Dense(3 + self.z_dim, name="latent_mu",
+                                  kernel_init=nn.initializers.orthogonal(0.01))
+        self.latent_var = nn.Dense(self.z_dim, name="latent_var",
+                                   kernel_init=nn.initializers.orthogonal(0.01))
+        self.cenet_decoder = MLP(hidden=(64, 128), out=self.num_obs,
+                                 act="relu", name="cenet_decoder")
+        self.terrain_encoder = MLP(hidden=(512, 512), out=self.terrain_latent,
+                                   act="relu", name="terrain_encoder")
+        self.terrain_decoder = MLP(hidden=(512, 512), out=self.terrain_dim,
+                                   act="relu", name="terrain_decoder")
+        self.memory_mlp = MLP(hidden=(256, 128), out=self.terrain_latent,
+                              act="relu", name="memory_mlp")
+
+    def __call__(self, obs_history, rng):
+        return self.cenet_forward(obs_history, rng)
+
+    def cenet_forward(self, obs_history, rng):
+        """(mu(19), logvar(16), z(16)) with the latent_var outlier->median
+        filter (:286-302)."""
+        e = self.cenet_encoder(obs_history)
+        mu = self.latent_mu(e)
+        logvar = self.latent_var(e)
+        # outlier handling (:293-299): replace >2-sigma entries (over the
+        # whole batch) with the median of the non-outliers
+        m = jnp.mean(logvar)
+        s = jnp.std(logvar)
+        outliers = jnp.abs(logvar - m) > 2.0 * s
+        # masked median: sort values with outliers pushed to +inf; take the
+        # median position among the valid count
+        flat = logvar.reshape(-1)
+        valid = ~outliers.reshape(-1)
+        big = jnp.where(valid, flat, jnp.inf)
+        srt = jnp.sort(big)
+        n_valid = jnp.sum(valid)
+        med = srt[jnp.clip((n_valid - 1) // 2, 0, flat.size - 1)]
+        logvar = jnp.where(outliers, med, logvar)
+        std = jnp.exp(0.5 * logvar)
+        eps = jax.random.normal(rng, std.shape, dtype=std.dtype)
+        z = mu[..., 3:] + eps * std                      # reparameterize (:274-284)
+        return mu, logvar, z
+
+    def encode_terrain(self, heights):
+        return self.terrain_encoder(heights)
+
+    def decode_terrain(self, l_t):
+        return self.terrain_decoder(l_t)
+
+    def decode_cenet(self, z, vel, l_t):
+        return self.cenet_decoder(jnp.concatenate([z, vel, l_t], axis=-1))
+
+    def belief(self, obs_history, l_t):
+        """Teacher-inference belief (act_teacher, :516-518)."""
+        b_t1 = self.memory_mlp(jnp.concatenate([obs_history, l_t], axis=-1))
+        return b_t1 + l_t * b_t1
+
+
+class ActorCriticDecoder(nn.Module):
+    """The DTC teacher actor-critic (ActorCriticDecoder, :305-563)."""
+    num_obs: int = 53
+    num_privileged_obs: int = 1389
+    num_actions: int = 12
+    obs_history_dim: int = 265
+    terrain_dim: int = 693
+    terrain_latent: int = 512
+    z_dim: int = 16
+    actor_hidden: Sequence[int] = (512, 256, 128)
+    critic_hidden: Sequence[int] = (512, 256, 128)
+    activation: str = "elu"
+    init_noise_std: float = 1.0
+    is_recurrent: bool = False
+
+    def setup(self):
+        self.vae = Vae(num_obs=self.num_obs,
+                       obs_history_dim=self.obs_history_dim,
+                       terrain_dim=self.terrain_dim,
+                       terrain_latent=self.terrain_latent, z_dim=self.z_dim)
+        self.actor_body = MLP(hidden=self.actor_hidden, out=self.num_actions,
+                              act=self.activation, name="actor_body")
+        self.critic_body = MLP(hidden=self.critic_hidden, out=1,
+                               act=self.activation, name="critic_body")
+        self.std = self.param(
+            "std", lambda key, shape: self.init_noise_std * jnp.ones(shape),
+            (self.num_actions,))
+
+    def __call__(self, obs, obs_history, privileged_obs, base_vel, rng):
+        """init/inspection convenience: runs act + evaluate."""
+        mean, _, _, _ = self.act_stats(obs, obs_history, privileged_obs, rng)
+        value = self.evaluate(obs, privileged_obs, base_vel)
+        return mean, value
+
+    def act_stats(self, obs, obs_history, privileged_obs, rng):
+        """Training-path distribution stats (update_distribution, :409-437).
+
+        Returns (mean, std, (mu, logvar, z)) with l_t fed raw to the actor.
+        """
+        mu, logvar, z = self.vae.cenet_forward(obs_history, rng)
+        l_t = self.vae.encode_terrain(privileged_obs[..., :self.terrain_dim])
+        mean = self.actor_body(jnp.concatenate(
+            [obs, z, mu[..., :3], l_t], axis=-1))        # :431
+        std = jnp.broadcast_to(self.std, mean.shape)
+        return mean, std, (mu, logvar, z), l_t
+
+    def act_teacher(self, obs, obs_history, privileged_obs):
+        """Deterministic teacher policy for eval/deployment (:504-538):
+        uses latent mu (no sampling) and the belief-encoder path."""
+        e = self.vae.cenet_encoder(obs_history)
+        latent = self.vae.latent_mu(e)
+        l_t = self.vae.encode_terrain(privileged_obs[..., :self.terrain_dim])
+        b_t = self.vae.belief(obs_history, l_t)
+        return self.actor_body(jnp.concatenate(
+            [obs, latent[..., 3:], latent[..., :3], b_t], axis=-1))  # :520
+
+    def evaluate(self, obs, privileged_obs, base_vel):
+        """Critic (evaluate, :540-551): [obs, base_vel, force(3), clean
+        heights(693)] = 752."""
+        td = self.terrain_dim
+        x = jnp.concatenate([obs, base_vel,
+                             privileged_obs[..., td:td + 3],
+                             privileged_obs[..., td + 3:]], axis=-1)
+        return self.critic_body(x)[..., 0]
+
+    def vae_losses(self, obs_history, privileged_obs, next_obs, base_vel, rng):
+        """VAE training pieces (ppo.py:197-247)."""
+        td = self.terrain_dim
+        mu, logvar, z = self.vae.cenet_forward(obs_history, rng)
+        l_t = self.vae.encode_terrain(privileged_obs[..., :td])
+        recons = self.vae.decode_cenet(z, mu[..., :3], l_t)
+        recons_loss = jnp.mean(jnp.mean(jnp.square(recons - next_obs), axis=-1))
+        height_recon = self.vae.decode_terrain(l_t)
+        height_loss = jnp.mean(jnp.square(height_recon
+                                          - privileged_obs[..., td + 3:]))
+        vel_loss = jnp.mean(jnp.square(mu[..., :3] - base_vel))
+        kld = jnp.mean(-0.5 * jnp.sum(
+            1 + logvar - jnp.square(mu[..., 3:]) - jnp.exp(logvar), axis=-1))
+        return recons_loss, vel_loss, kld, height_loss
+
+
+class ActorCritic(nn.Module):
+    """Baseline MLP actor-critic (actor_critic.py:38-155)."""
+    num_obs: int = 53
+    num_critic_obs: int = 53
+    num_actions: int = 12
+    actor_hidden: Sequence[int] = (512, 256, 128)
+    critic_hidden: Sequence[int] = (512, 256, 128)
+    activation: str = "elu"
+    init_noise_std: float = 1.0
+
+    def setup(self):
+        self.actor = MLP(hidden=self.actor_hidden, out=self.num_actions,
+                         act=self.activation)
+        self.critic = MLP(hidden=self.critic_hidden, out=1,
+                          act=self.activation)
+        self.std = self.param(
+            "std", lambda key, shape: self.init_noise_std * jnp.ones(shape),
+            (self.num_actions,))
+
+    def __call__(self, obs, critic_obs):
+        mean = self.actor(obs)
+        value = self.critic(critic_obs)[..., 0]
+        return mean, jnp.broadcast_to(self.std, mean.shape), value
+
+
+class Memory(nn.Module):
+    """GRU/LSTM memory (Memory, actor_critic_decoder.py:584-614)."""
+    hidden_size: int = 256
+    rnn_type: str = "gru"
+
+    @nn.compact
+    def __call__(self, x, carry):
+        if self.rnn_type == "gru":
+            cell = nn.GRUCell(features=self.hidden_size)
+        else:
+            cell = nn.OptimizedLSTMCell(features=self.hidden_size)
+        carry, out = cell(carry, x)
+        return carry, out
+
+    def initialize_carry(self, rng, batch_dims):
+        if self.rnn_type == "gru":
+            return nn.GRUCell(features=self.hidden_size).initialize_carry(
+                rng, batch_dims + (self.hidden_size,))
+        return nn.OptimizedLSTMCell(features=self.hidden_size).initialize_carry(
+            rng, batch_dims + (self.hidden_size,))
+
+
+class ActorCriticRecurrent(nn.Module):
+    """RNN actor-critic (actor_critic_recurrent.py:40-115): obs -> RNN ->
+    MLP heads; carries (actor, critic) hidden states."""
+    num_obs: int = 53
+    num_critic_obs: int = 53
+    num_actions: int = 12
+    rnn_hidden_size: int = 256
+    rnn_type: str = "gru"
+    actor_hidden: Sequence[int] = (512, 256, 128)
+    critic_hidden: Sequence[int] = (512, 256, 128)
+    activation: str = "elu"
+    init_noise_std: float = 1.0
+
+    def setup(self):
+        self.memory_a = Memory(hidden_size=self.rnn_hidden_size,
+                               rnn_type=self.rnn_type)
+        self.memory_c = Memory(hidden_size=self.rnn_hidden_size,
+                               rnn_type=self.rnn_type)
+        self.actor = MLP(hidden=self.actor_hidden, out=self.num_actions,
+                         act=self.activation)
+        self.critic = MLP(hidden=self.critic_hidden, out=1,
+                          act=self.activation)
+        self.std = self.param(
+            "std", lambda key, shape: self.init_noise_std * jnp.ones(shape),
+            (self.num_actions,))
+
+    def __call__(self, obs, critic_obs, carry_a, carry_c):
+        carry_a, ha = self.memory_a(obs, carry_a)
+        carry_c, hc = self.memory_c(critic_obs, carry_c)
+        mean = self.actor(ha)
+        value = self.critic(hc)[..., 0]
+        return mean, jnp.broadcast_to(self.std, mean.shape), value, carry_a, carry_c

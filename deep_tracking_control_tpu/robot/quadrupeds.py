@@ -230,42 +230,49 @@ def x30() -> RobotModel:
 
 
 def to_urdf(m: RobotModel) -> str:
-    """Emit an URDF equivalent of a RobotModel (round-trip/testing/export)."""
+    """Emit an URDF equivalent of a RobotModel (round-trip/testing/export).
+
+    Links are emitted in reporting-body (document) order so a parse of the
+    output reproduces the same body ordering."""
     out = io.StringIO()
     out.write(f'<?xml version="1.0"?>\n<robot name="{m.name}">\n')
     dyn_names = m.dynamic_body_names
-    for i, name in enumerate(dyn_names):
-        I = m.inertia[i]
-        out.write(f'  <link name="{name}">\n    <inertial>\n')
-        out.write(f'      <origin xyz="{m.com[i,0]} {m.com[i,1]} {m.com[i,2]}"/>\n')
-        out.write(f'      <mass value="{m.mass[i]}"/>\n')
-        out.write(f'      <inertia ixx="{I[0,0]}" ixy="{I[0,1]}" ixz="{I[0,2]}" '
-                  f'iyy="{I[1,1]}" iyz="{I[1,2]}" izz="{I[2,2]}"/>\n')
-        out.write('    </inertial>\n  </link>\n')
-        if i > 0:
-            j = i - 1
-            a, t = m.joint_axis[j], m.joint_t[j]
-            lo, hi = m.pos_limit[j]
-            out.write(f'  <joint name="{m.joint_names[j]}" type="revolute">\n')
-            out.write(f'    <origin xyz="{t[0]} {t[1]} {t[2]}"/>\n')
-            out.write(f'    <parent link="{dyn_names[m.parent[i]]}"/>\n')
-            out.write(f'    <child link="{name}"/>\n')
-            out.write(f'    <axis xyz="{a[0]} {a[1]} {a[2]}"/>\n')
-            out.write(f'    <limit lower="{lo}" upper="{hi}" '
-                      f'effort="{m.effort_limit[j]}" velocity="{m.vel_limit[j]}"/>\n')
-            out.write('  </joint>\n')
-    for k, bi in enumerate(m.foot_body_index):
-        name = m.body_names[bi]
-        off = m.foot_offset[k]
-        out.write(f'  <link name="{name}">\n')
-        out.write('    <inertial><mass value="0.0"/>'
-                  '<inertia ixx="0" ixy="0" ixz="0" iyy="0" iyz="0" izz="0"/></inertial>\n')
-        out.write(f'    <collision><geometry><sphere radius="{m.foot_radius[k]}"/>'
-                  '</geometry></collision>\n  </link>\n')
-        out.write(f'  <joint name="{name}_Ankle" type="fixed" dont_collapse="true">\n')
-        out.write(f'    <origin xyz="{off[0]} {off[1]} {off[2]}"/>\n')
-        out.write(f'    <parent link="{dyn_names[m.foot_dyn_index[k]]}"/>\n')
-        out.write(f'    <child link="{name}"/>\n  </joint>\n')
+    dyn_pos = {n: i for i, n in enumerate(dyn_names)}
+    foot_of = {int(m.foot_body_index[k]): k for k in range(len(m.foot_body_index))}
+    for b, name in enumerate(m.body_names):
+        if name in dyn_pos:
+            i = dyn_pos[name]
+            I = m.inertia[i]
+            out.write(f'  <link name="{name}">\n    <inertial>\n')
+            out.write(f'      <origin xyz="{m.com[i,0]} {m.com[i,1]} {m.com[i,2]}"/>\n')
+            out.write(f'      <mass value="{m.mass[i]}"/>\n')
+            out.write(f'      <inertia ixx="{I[0,0]}" ixy="{I[0,1]}" ixz="{I[0,2]}" '
+                      f'iyy="{I[1,1]}" iyz="{I[1,2]}" izz="{I[2,2]}"/>\n')
+            out.write('    </inertial>\n  </link>\n')
+            if i > 0:
+                j = i - 1
+                a, t = m.joint_axis[j], m.joint_t[j]
+                lo, hi = m.pos_limit[j]
+                out.write(f'  <joint name="{m.joint_names[j]}" type="revolute">\n')
+                out.write(f'    <origin xyz="{t[0]} {t[1]} {t[2]}"/>\n')
+                out.write(f'    <parent link="{dyn_names[m.parent[i]]}"/>\n')
+                out.write(f'    <child link="{name}"/>\n')
+                out.write(f'    <axis xyz="{a[0]} {a[1]} {a[2]}"/>\n')
+                out.write(f'    <limit lower="{lo}" upper="{hi}" '
+                          f'effort="{m.effort_limit[j]}" velocity="{m.vel_limit[j]}"/>\n')
+                out.write('  </joint>\n')
+        elif b in foot_of:
+            k = foot_of[b]
+            off = m.foot_offset[k]
+            out.write(f'  <link name="{name}">\n')
+            out.write('    <inertial><mass value="0.0"/>'
+                      '<inertia ixx="0" ixy="0" ixz="0" iyy="0" iyz="0" izz="0"/></inertial>\n')
+            out.write(f'    <collision><geometry><sphere radius="{m.foot_radius[k]}"/>'
+                      '</geometry></collision>\n  </link>\n')
+            out.write(f'  <joint name="{name}_Ankle" type="fixed" dont_collapse="true">\n')
+            out.write(f'    <origin xyz="{off[0]} {off[1]} {off[2]}"/>\n')
+            out.write(f'    <parent link="{dyn_names[m.foot_dyn_index[k]]}"/>\n')
+            out.write(f'    <child link="{name}"/>\n  </joint>\n')
     out.write('</robot>\n')
     return out.getvalue()
 

@@ -1,0 +1,215 @@
+"""PPO + joint VAE training — one fused, jit-able update.
+
+Capability parity with rsl_rl's PPO (ppo.py:42-357) and RolloutStorage
+(rollout_storage.py:36-214), redesigned TPU-first:
+  - the rollout is a lax.scan producing stacked (T, N, ...) pytrees (no
+    mutable storage object),
+  - GAE is a reverse lax.scan (compute_returns, rollout_storage.py:138-152),
+  - the 5-epoch x 4-minibatch update is a lax.scan over permuted index
+    blocks (mini_batch_generator, rollout_storage.py:162-214),
+  - two optimizers: main Adam over ALL params with adaptive-KL learning rate
+    (ppo.py:78,295-307) and a VAE Adam over the vae subtree (ppo.py:79);
+    within each minibatch the VAE step runs first, then the policy step on
+    the updated VAE params (ppo.py:249-254 before :265), exactly like the
+    reference's sequential optimizer calls.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..env.config import AlgorithmCfg
+
+
+def normal_log_prob(mean, std, x):
+    """Sum of independent Normal log-probs over the action axis."""
+    var = std * std
+    lp = -0.5 * jnp.square(x - mean) / var - jnp.log(std) \
+        - 0.5 * jnp.log(2.0 * jnp.pi)
+    return jnp.sum(lp, axis=-1)
+
+
+def normal_entropy(std):
+    return jnp.sum(0.5 + 0.5 * jnp.log(2.0 * jnp.pi) + jnp.log(std), axis=-1)
+
+
+def make_optimizers(alg: AlgorithmCfg):
+    """(main, vae) optax chains; main LR is injected (adaptive KL)."""
+    main = optax.chain(
+        optax.clip_by_global_norm(alg.max_grad_norm),
+        optax.inject_hyperparams(optax.adam)(learning_rate=alg.learning_rate),
+    )
+    vae = optax.chain(
+        optax.clip_by_global_norm(alg.max_grad_norm),
+        optax.adam(alg.vae_learning_rate),
+    )
+    return main, vae
+
+
+@dataclasses.dataclass
+class PPO:
+    """Pure-function PPO over an ActorCriticDecoder net apply fn."""
+    net: Any                       # flax module (ActorCriticDecoder)
+    alg: AlgorithmCfg
+
+    # ---------------- acting (collection) ----------------
+    def act(self, params, obs, obs_history, privileged_obs, base_vel, key):
+        """Sample actions + stats (PPO.act, ppo.py:137-155)."""
+        k_z, k_a = jax.random.split(key)
+        mean, std, _, _ = self.net.apply(
+            params, obs, obs_history, privileged_obs, k_z,
+            method=self.net.act_stats)
+        actions = mean + std * jax.random.normal(k_a, mean.shape)
+        log_prob = normal_log_prob(mean, std, actions)
+        values = self.net.apply(params, obs, privileged_obs, base_vel,
+                                method=self.net.evaluate)
+        return dict(actions=actions, log_prob=log_prob, values=values,
+                    mu=mean, sigma=std)
+
+    # ---------------- GAE ----------------
+    def compute_gae(self, rewards, dones, values, last_values):
+        """compute_returns parity (rollout_storage.py:138-152).
+
+        rewards/dones/values: (T, N); last_values: (N,).
+        Returns (returns, normalized advantages)."""
+        gamma, lam = self.alg.gamma, self.alg.lam
+
+        def body(adv_next, x):
+            rew, done, val, next_val = x
+            not_terminal = 1.0 - done
+            delta = rew + not_terminal * gamma * next_val - val
+            adv = delta + not_terminal * gamma * lam * adv_next
+            return adv, adv
+
+        next_values = jnp.concatenate([values[1:], last_values[None]], axis=0)
+        _, advs = jax.lax.scan(
+            body, jnp.zeros_like(last_values),
+            (rewards, dones.astype(jnp.float32), values, next_values),
+            reverse=True)
+        returns = advs + values
+        advantages = (advs - advs.mean()) / (advs.std() + 1e-8)
+        return returns, advantages
+
+    # ---------------- update ----------------
+    def update(self, params, opt_state, vae_opt_state, learning_rate,
+               batch: Dict[str, jnp.ndarray], key):
+        """5 epochs x 4 minibatches over the flattened (T*N) batch
+        (PPO.update, ppo.py:174-357).
+
+        batch fields are (T, N, ...) stacked transitions with keys:
+        obs, next_obs, privileged_obs, obs_history, base_vel, actions,
+        values, returns, advantages, old_log_prob, old_mu, old_sigma.
+        Returns (params, opt_state, vae_opt_state, learning_rate, stats)."""
+        alg = self.alg
+        main_opt, vae_opt = make_optimizers(alg)
+        T, N = batch["values"].shape
+        total = T * N
+        nmb = alg.num_mini_batches
+        mb_size = total // nmb
+        flat = jax.tree.map(lambda x: x.reshape((total,) + x.shape[2:]), batch)
+
+        k_perm, k_upd = jax.random.split(key)
+        perms = jax.vmap(lambda k: jax.random.permutation(k, total))(
+            jax.random.split(k_perm, alg.num_learning_epochs))
+        idx = perms[:, :nmb * mb_size].reshape(
+            alg.num_learning_epochs * nmb, mb_size)
+
+        def minibatch_step(carry, xs):
+            params, opt_state, vae_opt_state, lr = carry
+            mb_idx, k = xs
+            mb = jax.tree.map(lambda x: x[mb_idx], flat)
+            k_vae, k_pol = jax.random.split(k)
+
+            # ---- VAE step (ppo.py:197-254)
+            def vae_loss_fn(p):
+                recons, vel, kld, height = self.net.apply(
+                    p, mb["obs_history"], mb["privileged_obs"],
+                    mb["next_obs"], mb["base_vel"], k_vae,
+                    method=self.net.vae_losses)
+                loss = recons + vel + alg.kld_weight * kld + height
+                return loss, (recons, vel, kld, height)
+
+            (vae_loss, (recons_l, vel_l, kld_l, height_l)), vae_grads = \
+                jax.value_and_grad(vae_loss_fn, has_aux=True)(params)
+            vae_updates, vae_opt_state = vae_opt.update(vae_grads,
+                                                        vae_opt_state, params)
+            # only vae-subtree grads are nonzero; apply directly
+            params = optax.apply_updates(params, mask_non_vae(vae_updates))
+
+            # ---- policy step (ppo.py:265-335)
+            def pol_loss_fn(p):
+                mean, std, _, _ = self.net.apply(
+                    p, mb["obs"], mb["obs_history"], mb["privileged_obs"],
+                    k_pol, method=self.net.act_stats)
+                log_prob = normal_log_prob(mean, std, mb["actions"])
+                value = self.net.apply(p, mb["obs"], mb["privileged_obs"],
+                                       mb["base_vel"],
+                                       method=self.net.evaluate)
+                ratio = jnp.exp(log_prob - mb["old_log_prob"])
+                adv = mb["advantages"]
+                surr = -adv * ratio
+                surr_clipped = -adv * jnp.clip(ratio, 1.0 - alg.clip_param,
+                                               1.0 + alg.clip_param)
+                surrogate_loss = jnp.mean(jnp.maximum(surr, surr_clipped))
+                if alg.use_clipped_value_loss:                # ppo.py:318-323
+                    v_clipped = mb["values"] + jnp.clip(
+                        value - mb["values"], -alg.clip_param, alg.clip_param)
+                    v_loss = jnp.maximum(jnp.square(value - mb["returns"]),
+                                         jnp.square(v_clipped - mb["returns"]))
+                    value_loss = jnp.mean(v_loss)
+                else:
+                    value_loss = jnp.mean(jnp.square(mb["returns"] - value))
+                entropy = jnp.mean(normal_entropy(std))
+                loss = (surrogate_loss + alg.value_loss_coef * value_loss
+                        - alg.entropy_coef * entropy)
+                # adaptive-KL statistic (ppo.py:295-299)
+                kl = jnp.sum(
+                    jnp.log(std / mb["old_sigma"] + 1e-5)
+                    + (jnp.square(mb["old_sigma"])
+                       + jnp.square(mb["old_mu"] - mean))
+                    / (2.0 * jnp.square(std)) - 0.5, axis=-1)
+                return loss, (surrogate_loss, value_loss, entropy,
+                              jnp.mean(kl))
+
+            (loss, (surr_l, val_l, ent, kl_mean)), grads = \
+                jax.value_and_grad(pol_loss_fn, has_aux=True)(params)
+
+            # adaptive learning rate (ppo.py:300-307)
+            if alg.schedule == "adaptive" and alg.desired_kl is not None:
+                lr = jnp.where(kl_mean > alg.desired_kl * 2.0,
+                               jnp.maximum(1e-5, lr / 1.5), lr)
+                lr = jnp.where((kl_mean < alg.desired_kl / 2.0) & (kl_mean > 0),
+                               jnp.minimum(1e-2, lr * 1.5), lr)
+            inj = opt_state[1]
+            inj = inj._replace(hyperparams={**inj.hyperparams,
+                                            "learning_rate": lr})
+            opt_state = (opt_state[0], inj)
+            updates, opt_state = main_opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+
+            stats = dict(value_loss=val_l, surrogate_loss=surr_l,
+                         entropy=ent, kl=kl_mean, recons_loss=recons_l,
+                         vel_loss=vel_l, kld_loss=kld_l, height_loss=height_l,
+                         lr=lr)
+            return (params, opt_state, vae_opt_state, lr), stats
+
+        n_steps = idx.shape[0]
+        (params, opt_state, vae_opt_state, learning_rate), stats = \
+            jax.lax.scan(minibatch_step,
+                         (params, opt_state, vae_opt_state, learning_rate),
+                         (idx, jax.random.split(k_upd, n_steps)))
+        mean_stats = jax.tree.map(jnp.mean, stats)
+        return params, opt_state, vae_opt_state, learning_rate, mean_stats
+
+
+def mask_non_vae(updates):
+    """Zero every update outside the vae subtree (the VAE optimizer of
+    ppo.py:79 steps only actor_critic.vae parameters)."""
+    def mask(path, leaf):
+        keep = any(getattr(p, "key", None) == "vae" for p in path)
+        return leaf if keep else jnp.zeros_like(leaf)
+    return jax.tree_util.tree_map_with_path(mask, updates)

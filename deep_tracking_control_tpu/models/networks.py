@@ -152,10 +152,13 @@ class ActorCriticDecoder(nn.Module):
             (self.num_actions,))
 
     def __call__(self, obs, obs_history, privileged_obs, base_vel, rng):
-        """init/inspection convenience: runs act + evaluate."""
-        mean, _, _, _ = self.act_stats(obs, obs_history, privileged_obs, rng)
+        """Init/inspection: exercises EVERY submodule so flax creates all
+        parameters (actor, critic, both VAE decoders, belief memory)."""
+        mean, _, _, l_t = self.act_stats(obs, obs_history, privileged_obs, rng)
         value = self.evaluate(obs, privileged_obs, base_vel)
-        return mean, value
+        losses = self.vae_losses(obs_history, privileged_obs, obs, base_vel, rng)
+        _ = self.vae.belief(obs_history, l_t)
+        return mean, value, losses
 
     def act_stats(self, obs, obs_history, privileged_obs, rng):
         """Training-path distribution stats (update_distribution, :409-437).

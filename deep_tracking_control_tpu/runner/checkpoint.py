@@ -1,0 +1,51 @@
+"""Orbax checkpointing of the full train-state pytree.
+
+Replaces torch.save/load of model+optimizer+iter (on_policy_runner.py:
+249-264) — and additionally checkpoints env state, curriculum levels, and
+the PRNG key so resume continues the curriculum exactly (the reference
+restarts it; SURVEY.md §5 checkpoint notes).
+"""
+from __future__ import annotations
+
+import os
+import re
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save(path: str, tree):
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(tree), force=True)
+    ckptr.wait_until_finished()
+
+
+def load(path: str, like_tree):
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(getattr(x, "shape", ()),
+                                       getattr(x, "dtype", None))
+        if hasattr(x, "shape") else x, like_tree)
+    return ckptr.restore(path, abstract)
+
+
+def get_load_path(root: str, load_run: str = "-1", checkpoint: int = -1):
+    """Checkpoint discovery (helpers.py:73-95): latest run dir / model_* by
+    number unless explicitly given."""
+    runs = sorted(d for d in os.listdir(root)
+                  if os.path.isdir(os.path.join(root, d)))
+    if not runs:
+        raise FileNotFoundError(f"no runs in {root}")
+    run = runs[-1] if load_run in ("-1", -1) else load_run
+    run_dir = os.path.join(root, run)
+    models = [(int(m.group(1)), d) for d in os.listdir(run_dir)
+              if (m := re.match(r"model_(\d+)$", d))]
+    if not models:
+        raise FileNotFoundError(f"no model_* checkpoints in {run_dir}")
+    if checkpoint in (-1, "-1"):
+        step, name = max(models)
+    else:
+        name = f"model_{checkpoint}"
+    return os.path.join(run_dir, name)

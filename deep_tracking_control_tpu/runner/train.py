@@ -1,0 +1,290 @@
+"""OnPolicyRunner — rollout + PPO update as ONE jitted, mesh-sharded program.
+
+Capability parity with rsl_rl/runners/on_policy_runner.py:45-274 (training
+loop, TensorBoard + console telemetry, save/load, inference-policy getter),
+redesigned TPU-first: the 24-step rollout (lax.scan), GAE, and the full
+5x4-minibatch PPO/VAE update compile into a single XLA program whose env
+axis is sharded over the device mesh; XLA inserts the gradient/metric
+collectives (parallel/mesh.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from collections import deque
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..agent.ppo import PPO, make_optimizers
+from ..env.config import TrainCfg
+from ..env.legged_env import LeggedEnv
+from ..models.networks import ActorCriticDecoder
+from ..parallel import mesh as pmesh
+
+
+class OnPolicyRunner:
+    def __init__(self, env: LeggedEnv, train_cfg: TrainCfg,
+                 log_dir: Optional[str] = None, mesh=None, writer=None):
+        self.env = env
+        self.cfg = train_cfg
+        self.log_dir = log_dir
+        self.mesh = mesh if mesh is not None else pmesh.make_mesh()
+        self.writer = writer
+        self.current_learning_iteration = 0
+        self.tot_timesteps = 0
+        self.tot_time = 0.0
+
+        pol = train_cfg.policy
+        self.net = ActorCriticDecoder(
+            num_obs=env.num_obs,
+            num_privileged_obs=env.num_privileged_obs,
+            num_actions=env.num_actions,
+            obs_history_dim=env.num_obs_history,
+            terrain_dim=env.num_height_points,
+            terrain_latent=pol.terrain_latent,
+            z_dim=pol.cenet_latent,
+            actor_hidden=tuple(pol.actor_hidden_dims),
+            critic_hidden=tuple(pol.critic_hidden_dims),
+            activation=pol.activation,
+            init_noise_std=pol.init_noise_std)
+        self.ppo = PPO(net=self.net, alg=train_cfg.algorithm)
+
+        key = jax.random.PRNGKey(train_cfg.runner.seed)
+        self.key, k_net, k_env = jax.random.split(key, 3)
+        dummy = (jnp.zeros((1, env.num_obs)),
+                 jnp.zeros((1, env.num_obs_history)),
+                 jnp.zeros((1, env.num_privileged_obs)),
+                 jnp.zeros((1, 3)), jax.random.PRNGKey(0))
+        self.params = self.net.init(k_net, *dummy)
+        main_opt, vae_opt = make_optimizers(train_cfg.algorithm)
+        self.opt_state = main_opt.init(self.params)
+        self.vae_opt_state = vae_opt.init(self.params)
+        self.learning_rate = jnp.asarray(train_cfg.algorithm.learning_rate)
+
+        # env init, placed on the mesh
+        with self.mesh:
+            self.env_params, self.env_state = env.init(k_env)
+        shardings = pmesh.tree_shardings(self.mesh, self.env_state, env.num_envs)
+        self.env_state = pmesh.apply_shardings(self.env_state, shardings)
+        p_shard = pmesh.tree_shardings(self.mesh, self.env_params, env.num_envs)
+        self.env_params = pmesh.apply_shardings(self.env_params, p_shard)
+
+        self._state_shardings = shardings
+        self._params_shardings = p_shard
+        self._repl = pmesh.replicated(self.mesh)
+        self._train_iter = self._build_train_iter()
+
+        # episode stats (on_policy_runner.py:103-106)
+        self.rewbuffer = deque(maxlen=100)
+        self.lenbuffer = deque(maxlen=100)
+        self._log_state = pmesh.apply_shardings(
+            dict(cur_reward_sum=jnp.zeros(env.num_envs),
+                 cur_episode_length=jnp.zeros(env.num_envs)),
+            dict(cur_reward_sum=pmesh.env_leading(self.mesh),
+                 cur_episode_length=pmesh.env_leading(self.mesh)))
+
+    # ------------------------------------------------------------------
+    def _build_train_iter(self):
+        env = self.env
+        ppo = self.ppo
+        net = self.net
+        T = self.cfg.runner.num_steps_per_env
+        gamma = self.cfg.algorithm.gamma
+
+        def train_iter(params, opt_state, vae_opt_state, lr,
+                       env_params, env_state, log_state, key):
+            k_roll, k_upd, k_last = jax.random.split(key, 3)
+
+            def rollout_body(carry, k):
+                env_state, log_state = carry
+                obs = env_state["obs"]
+                priv = env_state["privileged_obs"]
+                hist = env_state["obs_history"]
+                base_vel = env_state["base_vel"]
+                k_act, k_env = jax.random.split(k)
+                a = ppo.act(params, obs, hist, priv, base_vel, k_act)
+                env_state, out = env.step(env_params, env_state,
+                                          a["actions"], k_env)
+                # timeout bootstrap (ppo.py:160-163)
+                rew = out["rew"] + gamma * a["values"] * out["time_out"]
+                trans = dict(obs=obs, privileged_obs=priv, obs_history=hist,
+                             base_vel=base_vel, actions=a["actions"],
+                             values=a["values"], old_log_prob=a["log_prob"],
+                             old_mu=a["mu"], old_sigma=a["sigma"],
+                             next_obs=out["obs"], rewards=rew,
+                             dones=out["done"])
+                # episode bookkeeping (on_policy_runner.py:130-140)
+                crs = log_state["cur_reward_sum"] + out["rew"]
+                cel = log_state["cur_episode_length"] + 1.0
+                done_f = out["done"].astype(jnp.float32)
+                ep = dict(ep_rew_sum=jnp.sum(crs * done_f),
+                          ep_len_sum=jnp.sum(cel * done_f),
+                          ep_count=jnp.sum(done_f))
+                log_state = dict(cur_reward_sum=crs * (1.0 - done_f),
+                                 cur_episode_length=cel * (1.0 - done_f))
+                return (env_state, log_state), (trans, out["metrics"], ep)
+
+            (env_state, log_state), (batch, metrics, ep) = jax.lax.scan(
+                rollout_body, (env_state, log_state),
+                jax.random.split(k_roll, T))
+
+            last_values = net.apply(params, env_state["obs"],
+                                    env_state["privileged_obs"],
+                                    env_state["base_vel"],
+                                    method=net.evaluate)
+            returns, advantages = ppo.compute_gae(
+                batch["rewards"], batch["dones"], batch["values"], last_values)
+            batch = {**batch, "returns": returns, "advantages": advantages}
+            batch.pop("rewards")
+            batch.pop("dones")
+
+            params, opt_state, vae_opt_state, lr, stats = ppo.update(
+                params, opt_state, vae_opt_state, lr, batch, k_upd)
+
+            metrics_sum = jax.tree.map(lambda x: jnp.sum(x, axis=0), metrics)
+            ep_sum = jax.tree.map(lambda x: jnp.sum(x, axis=0), ep)
+            stats = {**stats, **{"metric_" + k: v for k, v in metrics_sum.items()},
+                     **ep_sum}
+            return (params, opt_state, vae_opt_state, lr, env_state,
+                    log_state, stats)
+
+        repl = self._repl
+        return jax.jit(
+            train_iter,
+            in_shardings=(repl, repl, repl, repl, self._params_shardings,
+                          self._state_shardings,
+                          dict(cur_reward_sum=pmesh.env_leading(self.mesh),
+                               cur_episode_length=pmesh.env_leading(self.mesh)),
+                          repl),
+            donate_argnums=(5,))
+
+    # ------------------------------------------------------------------
+    def learn(self, num_learning_iterations: int, log_every: int = 10):
+        """Training loop (OnPolicyRunner.learn, on_policy_runner.py:86-163)."""
+        save_interval = self.cfg.runner.save_interval
+        T = self.cfg.runner.num_steps_per_env
+        N = self.env.num_envs
+        start_it = self.current_learning_iteration
+        tot_iter = start_it + num_learning_iterations
+        for it in range(start_it, tot_iter):
+            t0 = time.time()
+            self.key, k = jax.random.split(self.key)
+            (self.params, self.opt_state, self.vae_opt_state,
+             self.learning_rate, self.env_state, self._log_state,
+             stats) = self._train_iter(
+                self.params, self.opt_state, self.vae_opt_state,
+                self.learning_rate, self.env_params, self.env_state,
+                self._log_state, k)
+            stats = jax.device_get(stats)
+            dt_iter = time.time() - t0
+            self.tot_timesteps += T * N
+            self.tot_time += dt_iter
+            if stats["ep_count"] > 0:
+                self.rewbuffer.append(
+                    float(stats["ep_rew_sum"] / stats["ep_count"]))
+                self.lenbuffer.append(
+                    float(stats["ep_len_sum"] / stats["ep_count"]))
+            if self.log_dir is not None and (it % log_every == 0):
+                self._log(it, stats, dt_iter)
+            if self.log_dir is not None and it % save_interval == 0:
+                self.save(os.path.join(self.log_dir, f"model_{it}"))
+            self.current_learning_iteration = it + 1
+        if self.log_dir is not None:
+            self.save(os.path.join(
+                self.log_dir, f"model_{self.current_learning_iteration}"))
+
+    # ------------------------------------------------------------------
+    def _log(self, it, stats, dt_iter):
+        """TensorBoard scalars matching on_policy_runner.py:187-203."""
+        fps = int(self.cfg.runner.num_steps_per_env * self.env.num_envs
+                  / max(dt_iter, 1e-9))
+        w = self.writer
+        scalars = {
+            "Loss/value_function": float(stats["value_loss"]),
+            "Loss/surrogate": float(stats["surrogate_loss"]),
+            "Loss/Reconstruction": float(stats["recons_loss"]),
+            "Loss/Vel_estimation": float(stats["vel_loss"]),
+            "Loss/KL_div": float(stats["kld_loss"]),
+            "Loss/height": float(stats["height_loss"]),
+            "Loss/learning_rate": float(stats["lr"]),
+            "Policy/mean_noise_std": float(
+                np.mean(np.asarray(self.params["params"]["std"]))),
+            "Perf/total_fps": fps,
+            "Perf/iter_time": dt_iter,
+        }
+        n_done = max(float(stats.get("metric_n_done", 0.0)), 1.0)
+        for k, v in stats.items():
+            if k.startswith("metric_rew_"):
+                scalars["Episode/" + k[7:]] = float(v) / n_done
+        if "metric_terrain_level" in stats:
+            scalars["Episode/terrain_level"] = float(
+                stats["metric_terrain_level"]) / self.cfg.runner.num_steps_per_env
+        if len(self.rewbuffer) > 0:
+            scalars["Train/mean_reward"] = float(np.mean(self.rewbuffer))
+            scalars["Train/mean_episode_length"] = float(np.mean(self.lenbuffer))
+        if w is not None:
+            for k, v in scalars.items():
+                w.add_scalar(k, v, it)
+        msg = (f"it {it:6d} | fps {fps:9d} | "
+               f"rew {scalars.get('Train/mean_reward', float('nan')):8.3f} | "
+               f"len {scalars.get('Train/mean_episode_length', float('nan')):7.1f} | "
+               f"vloss {scalars['Loss/value_function']:8.4f} | "
+               f"surr {scalars['Loss/surrogate']:8.4f} | "
+               f"lr {scalars['Loss/learning_rate']:.1e}")
+        print(msg, flush=True)
+
+    # ------------------------------------------------------------------
+    def save(self, path: str, infos=None):
+        """Checkpoint (save parity on_policy_runner.py:249-255, extended to
+        include env/curriculum/RNG state per SURVEY.md §5)."""
+        from . import checkpoint as ckpt
+        ckpt.save(path, dict(
+            params=self.params,
+            opt_state=self.opt_state,
+            vae_opt_state=self.vae_opt_state,
+            learning_rate=self.learning_rate,
+            iter=self.current_learning_iteration,
+            key=self.key,
+            env_state=self.env_state,
+            env_params=self.env_params,
+        ))
+
+    def load(self, path: str, load_optimizer: bool = True):
+        from . import checkpoint as ckpt
+        restored = ckpt.load(path, dict(
+            params=self.params,
+            opt_state=self.opt_state,
+            vae_opt_state=self.vae_opt_state,
+            learning_rate=self.learning_rate,
+            iter=0,
+            key=self.key,
+            env_state=self.env_state,
+            env_params=self.env_params,
+        ))
+        self.params = restored["params"]
+        if load_optimizer:
+            self.opt_state = restored["opt_state"]
+            self.vae_opt_state = restored["vae_opt_state"]
+            self.learning_rate = restored["learning_rate"]
+        self.current_learning_iteration = int(restored["iter"])
+        self.key = restored["key"]
+        self.env_state = restored["env_state"]
+        self.env_params = restored["env_params"]
+
+    # ------------------------------------------------------------------
+    def get_inference_policy(self, teacher: bool = True):
+        """act_expert analog (on_policy_runner.py:266-273): a jitted
+        deterministic policy obs_dict -> actions."""
+        net = self.net
+        params = self.params
+
+        @jax.jit
+        def policy(obs, obs_history, privileged_obs):
+            return net.apply(params, obs, obs_history, privileged_obs,
+                             method=net.act_teacher)
+
+        return policy

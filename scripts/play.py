@@ -1,0 +1,67 @@
+"""Policy evaluation (legged_gym/scripts/play.py parity, headless).
+
+Loads the latest checkpoint, overrides the config for evaluation (few envs,
+no noise / no pushes / no curriculum, play commands — play.py:18-36), rolls
+the deterministic teacher policy, and prints commanded-vs-actual velocity
+and height every step (play_single.py:52-62 behavior).
+"""
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deep_tracking_control_tpu.env.legged_env import LeggedEnv
+from deep_tracking_control_tpu.runner.train import OnPolicyRunner
+from deep_tracking_control_tpu.runner import checkpoint as ckpt
+from deep_tracking_control_tpu.tasks.registry import get_cfgs
+from deep_tracking_control_tpu.utils.cli import get_args, update_cfg_from_args
+
+
+def play(args, steps: int = 1000):
+    task_cfg, train_cfg = get_cfgs(args.task)
+    task_cfg, train_cfg = update_cfg_from_args(task_cfg, train_cfg, args)
+    # eval overrides (play.py:18-36)
+    task_cfg = dataclasses.replace(
+        task_cfg,
+        env=dataclasses.replace(task_cfg.env,
+                                num_envs=min(task_cfg.env.num_envs, 16),
+                                play_command=True),
+        terrain=dataclasses.replace(task_cfg.terrain, num_rows=2, num_cols=2,
+                                    curriculum=False, border_size=8.0),
+        noise=dataclasses.replace(task_cfg.noise, add_noise=False),
+        domain_rand=dataclasses.replace(task_cfg.domain_rand,
+                                        push_robots=False,
+                                        randomize_friction=False),
+    )
+    env = LeggedEnv(task_cfg, terrain_seed=train_cfg.runner.seed)
+    runner = OnPolicyRunner(env, train_cfg, log_dir=None)
+    root = os.path.join(args.log_root, train_cfg.runner.experiment_name)
+    path = ckpt.get_load_path(root, train_cfg.runner.load_run,
+                              train_cfg.runner.checkpoint)
+    print(f"Loading policy from {path}")
+    runner.load(path, load_optimizer=False)
+    policy = runner.get_inference_policy(teacher=True)
+
+    step = jax.jit(env.step)
+    params, state = runner.env_params, runner.env_state
+    key = jax.random.PRNGKey(123)
+    for i in range(steps):
+        actions = policy(state["obs"], state["obs_history"],
+                         state["privileged_obs"])
+        key, k = jax.random.split(key)
+        state, out = step(params, state, actions, k)
+        if i % 10 == 0:
+            cmd = np.asarray(state["commands"][0])
+            vel = np.asarray(out["base_vel"][0]) / 2.0   # undo lin_vel scale
+            z = float(state["phys"]["pos"][2, 0])
+            print(f"step {i:5d} cmd=({cmd[0]:+.2f},{cmd[1]:+.2f}) "
+                  f"vel=({vel[0]:+.2f},{vel[1]:+.2f}) z={z:+.3f}")
+
+
+if __name__ == "__main__":
+    play(get_args())

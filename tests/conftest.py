@@ -1,8 +1,19 @@
+"""Force an 8-device CPU backend for the test suite.
+
+Multi-chip sharding is validated on a virtual CPU mesh
+(--xla_force_host_platform_device_count=8); bench.py uses the real chip.
+The axon TPU plugin registers itself at interpreter start and overrides
+JAX_PLATFORMS, so we must override the jax config AFTER import, before any
+backend initialization.
+"""
 import os
 
-# Tests run on a virtual 8-device CPU mesh: multi-chip sharding is validated
-# without TPU hardware; bench.py runs on the real chip instead.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

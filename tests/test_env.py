@@ -1,0 +1,136 @@
+"""Environment-level tests: obs layout, resets, determinism, reward wiring."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deep_tracking_control_tpu.env.legged_env import LeggedEnv
+from deep_tracking_control_tpu.tasks.registry import get_cfgs
+
+
+@pytest.fixture(scope="module")
+def small_env():
+    task, _ = get_cfgs("lite3_dtc")
+    task = dataclasses.replace(
+        task,
+        env=dataclasses.replace(task.env, num_envs=4),
+        terrain=dataclasses.replace(task.terrain, num_rows=2, num_cols=2,
+                                    border_size=4.0, max_init_terrain_level=1),
+        noise=dataclasses.replace(task.noise, add_noise=False),
+        domain_rand=dataclasses.replace(task.domain_rand, push_robots=False))
+    env = LeggedEnv(task)
+    key = jax.random.PRNGKey(0)
+    params, state = env.init(key)
+    step = jax.jit(env.step)
+    # one step to populate obs
+    state, out = step(params, state, jnp.zeros((4, 12)), jax.random.PRNGKey(1))
+    return env, params, state, step, out
+
+
+def test_obs_layout(small_env):
+    """53-d obs layout (dtc.py:259-272): [ang_vel*0.25, gravity, cmd*scale,
+    (q-q_def)*1, qd*0.05, actions, foothold(8)].
+
+    Reset envs use pre-reset derived quantities (reference semantics:
+    compute_observations runs after reset_idx but the base quantities are
+    refreshed only next step) — so compare non-reset envs only."""
+    env, params, state, step, out = small_env
+    obs = np.asarray(out["obs"])
+    assert obs.shape == (4, 53)
+    live = ~np.asarray(out["done"])
+    assert live.any(), "all envs reset; adjust fixture"
+    phys = state["phys"]
+    from deep_tracking_control_tpu.ops import quat as qm
+    bq = jnp.asarray(phys["quat"].T)
+    ang = np.asarray(qm.quat_rotate_inverse(bq, phys["ang_vel"].T)) * 0.25
+    np.testing.assert_allclose(obs[live, 0:3], ang[live], atol=1e-5)
+    grav = np.asarray(qm.quat_rotate_inverse(
+        bq, jnp.broadcast_to(jnp.array([0., 0., -1.]), (4, 3))))
+    np.testing.assert_allclose(obs[live, 3:6], grav[live], atol=1e-5)
+    q = np.asarray(phys["q"].T)
+    np.testing.assert_allclose(obs[live, 9:21],
+                               (q - env.default_dof_pos[None, :])[live],
+                               atol=1e-5)
+    np.testing.assert_allclose(obs[live, 21:33],
+                               (np.asarray(phys["qd"].T) * 0.05)[live],
+                               atol=1e-5)
+    np.testing.assert_allclose(obs[:, 33:45], np.asarray(state["actions"]),
+                               atol=1e-6)
+    np.testing.assert_allclose(obs[:, 45:53],
+                               np.asarray(state["foothold_obs"]), atol=1e-6)
+
+
+def test_privileged_obs_layout(small_env):
+    """1389-d privileged obs (dtc.py:274-281): [noisy heights(693),
+    force*0.005(3), clean heights(693)]."""
+    env, params, state, step, out = small_env
+    priv = np.asarray(out["privileged_obs"])
+    assert priv.shape == (4, 693 + 3 + 693)
+    # pushes disabled -> force block is exactly 0
+    np.testing.assert_allclose(priv[:, 693:696], 0.0)
+    # noisy heights = clean + U(-0.1,0.1) + offset; check bounded difference
+    d = priv[:, :693] - priv[:, 696:]
+    assert np.all(np.abs(d) <= 0.1 + np.abs(np.asarray(
+        state["height_noise_offset"]))[:, None] + 1e-5)
+
+
+def test_reset_on_timeout(small_env):
+    env, params, state, step, out = small_env
+    # force timeout: set episode length near the max
+    state2 = {**state, "episode_length":
+              jnp.full((4,), env.max_episode_length, dtype=jnp.int32)}
+    state3, out3 = step(params, state2, jnp.zeros((4, 12)),
+                        jax.random.PRNGKey(2))
+    assert np.all(np.asarray(out3["done"]))
+    assert np.all(np.asarray(out3["time_out"]))
+    # episode length cleared for the new episode
+    assert np.all(np.asarray(state3["episode_length"]) == 0)
+    # episode sums were flushed to metrics and cleared
+    for n in env.episode_sum_names:
+        np.testing.assert_allclose(np.asarray(state3["episode_sums"][n]), 0.0)
+    assert float(out3["metrics"]["n_done"]) == 4.0
+
+
+def test_step_determinism(small_env):
+    env, params, state, step, _ = small_env
+    a = 0.3 * jax.random.normal(jax.random.PRNGKey(5), (4, 12))
+    s1, o1 = step(params, state, a, jax.random.PRNGKey(9))
+    s2, o2 = step(params, state, a, jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(np.asarray(o1["obs"]), np.asarray(o2["obs"]))
+    np.testing.assert_array_equal(np.asarray(s1["phys"]["q"]),
+                                  np.asarray(s2["phys"]["q"]))
+    s3, o3 = step(params, state, a, jax.random.PRNGKey(10))
+    # different key -> physics identical for envs that did NOT reset (the
+    # lag-buffer index draw is the only physics-path randomness and is
+    # identical in distribution; resets inject fresh randomness)
+    live = ~np.asarray(o1["done"]) & ~np.asarray(o3["done"])
+    if live.any():
+        np.testing.assert_allclose(np.asarray(s3["phys"]["pos"])[:, live],
+                                   np.asarray(s1["phys"]["pos"])[:, live],
+                                   atol=0.05)
+
+
+def test_reward_termination_sign(small_env):
+    """termination scale is negative; on non-timeout termination the term
+    contributes scale*1 (legged_robot.py:285-291)."""
+    env, params, state, step, _ = small_env
+    assert "termination" in env.episode_sum_names
+    assert env.termination_scale_dt < 0
+
+
+def test_episode_metrics_names(small_env):
+    env, params, state, step, out = small_env
+    for n in env.reward_names:
+        assert f"rew_{n}" in out["metrics"]
+    assert "terrain_level" in out["metrics"]
+
+
+def test_commands_small_zeroed(small_env):
+    """Commands with |v_xy| <= 0.1 are zeroed (legged_robot.py:591)."""
+    env, params, state, step, _ = small_env
+    c = np.asarray(state["commands"])
+    nrm = np.linalg.norm(c[:, :2], axis=1)
+    assert np.all((nrm == 0.0) | (nrm > 0.1))

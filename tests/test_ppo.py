@@ -1,0 +1,133 @@
+"""PPO numerics: GAE vs numpy reference, log-prob vs scipy, update smoke."""
+import numpy as np
+import scipy.stats
+
+import jax
+import jax.numpy as jnp
+
+from deep_tracking_control_tpu.agent.ppo import (PPO, make_optimizers,
+                                                 normal_entropy,
+                                                 normal_log_prob)
+from deep_tracking_control_tpu.env.config import AlgorithmCfg
+from deep_tracking_control_tpu.models.networks import ActorCriticDecoder
+
+
+def test_normal_log_prob_matches_scipy():
+    rng = np.random.default_rng(0)
+    mean = rng.normal(size=(5, 12))
+    std = np.abs(rng.normal(size=(12,))) + 0.1
+    x = rng.normal(size=(5, 12))
+    got = np.asarray(normal_log_prob(jnp.asarray(mean),
+                                     jnp.asarray(np.broadcast_to(std, mean.shape)),
+                                     jnp.asarray(x)))
+    want = scipy.stats.norm(mean, std).logpdf(x).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    ent = np.asarray(normal_entropy(jnp.asarray(np.broadcast_to(std, mean.shape))))
+    np.testing.assert_allclose(ent, scipy.stats.norm(0, std).entropy().sum(),
+                               rtol=1e-5)
+
+
+def _gae_numpy(rewards, dones, values, last_values, gamma, lam):
+    """Literal port of compute_returns (rollout_storage.py:138-152)."""
+    T, N = rewards.shape
+    returns = np.zeros_like(rewards)
+    advantage = np.zeros(N)
+    for step in reversed(range(T)):
+        next_values = last_values if step == T - 1 else values[step + 1]
+        not_terminal = 1.0 - dones[step]
+        delta = rewards[step] + not_terminal * gamma * next_values - values[step]
+        advantage = delta + not_terminal * gamma * lam * advantage
+        returns[step] = advantage + values[step]
+    advs = returns - values
+    advs = (advs - advs.mean()) / (advs.std() + 1e-8)
+    return returns, advs
+
+
+def test_gae_matches_reference_numpy():
+    rng = np.random.default_rng(0)
+    T, N = 24, 16
+    rewards = rng.normal(size=(T, N)).astype(np.float32)
+    dones = (rng.random((T, N)) < 0.1).astype(np.float32)
+    values = rng.normal(size=(T, N)).astype(np.float32)
+    last_values = rng.normal(size=(N,)).astype(np.float32)
+    alg = AlgorithmCfg()
+    ppo = PPO(net=None, alg=alg)
+    ret, adv = ppo.compute_gae(jnp.asarray(rewards), jnp.asarray(dones),
+                               jnp.asarray(values), jnp.asarray(last_values))
+    ret_np, adv_np = _gae_numpy(rewards, dones, values, last_values,
+                                alg.gamma, alg.lam)
+    np.testing.assert_allclose(np.asarray(ret), ret_np, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(adv), adv_np, rtol=2e-3, atol=2e-4)
+
+
+def _tiny_net_and_batch(T=8, N=4):
+    net = ActorCriticDecoder(num_obs=53, num_privileged_obs=1389,
+                             num_actions=12, obs_history_dim=265,
+                             terrain_dim=693, terrain_latent=32,
+                             actor_hidden=(32,), critic_hidden=(32,))
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    params = net.init(key, jnp.zeros((1, 53)), jnp.zeros((1, 265)),
+                      jnp.zeros((1, 1389)), jnp.zeros((1, 3)),
+                      jax.random.PRNGKey(1))
+    batch = dict(
+        obs=rng.normal(size=(T, N, 53)),
+        next_obs=rng.normal(size=(T, N, 53)),
+        privileged_obs=rng.normal(size=(T, N, 1389)),
+        obs_history=rng.normal(size=(T, N, 265)),
+        base_vel=rng.normal(size=(T, N, 3)),
+        actions=rng.normal(size=(T, N, 12)),
+        values=rng.normal(size=(T, N)),
+        returns=rng.normal(size=(T, N)),
+        advantages=rng.normal(size=(T, N)),
+        old_log_prob=rng.normal(size=(T, N)),
+        old_mu=rng.normal(size=(T, N, 12)) * 0.1,
+        old_sigma=np.ones((T, N, 12)),
+    )
+    batch = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in batch.items()}
+    return net, params, batch
+
+
+def test_update_changes_params_and_adapts_lr():
+    net, params, batch = _tiny_net_and_batch()
+    alg = AlgorithmCfg(num_learning_epochs=2, num_mini_batches=2)
+    ppo = PPO(net=net, alg=alg)
+    main_opt, vae_opt = make_optimizers(alg)
+    opt_state = main_opt.init(params)
+    vae_opt_state = vae_opt.init(params)
+    lr = jnp.asarray(alg.learning_rate)
+    new_params, _, _, new_lr, stats = jax.jit(ppo.update)(
+        params, opt_state, vae_opt_state, lr, batch, jax.random.PRNGKey(2))
+    diff = max(float(jnp.max(jnp.abs(a - b))) for a, b in
+               zip(jax.tree.leaves(params), jax.tree.leaves(new_params)))
+    assert diff > 0 and np.isfinite(diff)
+    # adaptive LR stays in the reference clamp band (ppo.py:302-304)
+    assert 1e-5 <= float(new_lr) <= 1e-2
+    for k in ("value_loss", "surrogate_loss", "recons_loss", "vel_loss",
+              "kld_loss", "height_loss", "kl"):
+        assert np.isfinite(float(stats[k])), k
+
+
+def test_vae_optimizer_only_touches_vae():
+    """The VAE step must not move actor/critic params (ppo.py:79 scoping)."""
+    net, params, batch = _tiny_net_and_batch(T=2, N=2)
+    alg = AlgorithmCfg(num_learning_epochs=1, num_mini_batches=1,
+                       learning_rate=0.0, schedule="fixed")  # freeze main opt
+    ppo = PPO(net=net, alg=alg)
+    main_opt, vae_opt = make_optimizers(alg)
+    opt_state = main_opt.init(params)
+    vae_opt_state = vae_opt.init(params)
+    new_params, *_ = jax.jit(ppo.update)(
+        params, opt_state, vae_opt_state, jnp.asarray(0.0), batch,
+        jax.random.PRNGKey(0))
+    p0 = params["params"]
+    p1 = new_params["params"]
+    # actor/critic/std unchanged
+    for k in ("actor_body", "critic_body"):
+        for a, b in zip(jax.tree.leaves(p0[k]), jax.tree.leaves(p1[k])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(p0["std"]), np.asarray(p1["std"]))
+    # vae changed
+    diff = max(float(jnp.max(jnp.abs(a - b))) for a, b in
+               zip(jax.tree.leaves(p0["vae"]), jax.tree.leaves(p1["vae"])))
+    assert diff > 0

@@ -1,0 +1,113 @@
+"""Terrain generator + grid query tests."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from deep_tracking_control_tpu.env.config import TerrainCfg
+from deep_tracking_control_tpu.terrain import grid as tgrid
+from deep_tracking_control_tpu.terrain.generator import (
+    SubTerrain, Terrain, gap_terrain, pyramid_sloped_terrain,
+    pyramid_stairs_terrain, stepping_stones_terrain)
+
+
+def _sub(hs=0.05):
+    return SubTerrain(width=160, length=160, vertical_scale=0.005,
+                      horizontal_scale=hs)
+
+
+def test_world_shapes_and_origins():
+    cfg = TerrainCfg(num_rows=3, num_cols=2, border_size=5.0)
+    t = Terrain(cfg, seed=0)
+    lpx = int(cfg.terrain_length / cfg.horizontal_scale)
+    assert t.height_field_raw.shape == (3 * lpx + 2 * t.border,
+                                        2 * lpx + 2 * t.border)
+    assert t.env_origins.shape == (3, 2, 3)
+    # origins at tile centers (terrain.py:153-154)
+    np.testing.assert_allclose(t.env_origins[0, 0, :2], [4.0, 4.0])
+    np.testing.assert_allclose(t.env_origins[2, 1, :2], [20.0, 12.0])
+
+
+def test_determinism():
+    cfg = TerrainCfg(num_rows=2, num_cols=2, border_size=2.0)
+    a = Terrain(cfg, seed=7).height_field_raw
+    b = Terrain(cfg, seed=7).height_field_raw
+    c = Terrain(cfg, seed=8).height_field_raw
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_pyramid_slope_monotone():
+    rng = np.random.default_rng(0)
+    t = pyramid_sloped_terrain(_sub(), rng, slope=0.4, platform_size=3.0)
+    h = t.height_field_raw
+    # height increases toward the center (outside the platform)
+    assert h[80, 80] == h.max()
+    assert h[0, 0] == 0
+    assert h[40, 80] < h[70, 80] or h[40, 80] <= h.max()
+
+
+def test_stairs_step_heights():
+    rng = np.random.default_rng(0)
+    t = pyramid_stairs_terrain(_sub(), rng, step_width=0.31, step_height=0.1,
+                               platform_size=3.0)
+    h = t.height_field_raw
+    levels = np.unique(h)
+    step = int(0.1 / 0.005)
+    diffs = np.diff(levels)
+    assert np.all(diffs == step)
+
+
+def test_stepping_stones_has_holes_and_platform():
+    rng = np.random.default_rng(0)
+    t = stepping_stones_terrain(_sub(), rng, stone_size=0.6,
+                                stone_distance=0.06, max_height=0.0,
+                                platform_size=1.0, depth=-2.0)
+    h = t.height_field_raw
+    depth = int(-2.0 / 0.005)
+    assert (h == depth).any(), "no holes"
+    assert h[80, 80] == 0, "center platform missing"
+
+
+def test_gap_ring():
+    rng = np.random.default_rng(0)
+    t = gap_terrain(_sub(), rng, gap_size=0.5, platform_size=1.0)
+    h = t.height_field_raw
+    assert h[80, 80] == 0
+    assert (h == -1000).any()
+
+
+def test_grid_queries_match_numpy():
+    cells = 64
+    hs = 0.05
+    rng = np.random.default_rng(0)
+    hf = rng.normal(0, 0.1, (cells, cells)).astype(np.float32)
+    grid = tgrid.TerrainGrid(jnp.asarray(hf), hs, border_size=cells * hs / 2,
+                             is_plane=False)
+    # min3 parity with the reference sampling (legged_robot.py:1303-1315)
+    xs = np.array([0.0, 0.3, -0.5])
+    ys = np.array([0.1, -0.2, 0.4])
+    got = np.asarray(tgrid.height_min3(grid, jnp.asarray(xs), jnp.asarray(ys)))
+    for k in range(3):
+        px = int((xs[k] + grid.border_size) / hs)
+        py = int((ys[k] + grid.border_size) / hs)
+        px = np.clip(px, 0, cells - 2)
+        py = np.clip(py, 0, cells - 2)
+        want = min(hf[px, py], hf[px + 1, py], hf[px, py + 1])
+        np.testing.assert_allclose(got[k], want, atol=1e-6)
+
+
+def test_bilinear_interpolation_exact_on_plane():
+    # a planar heightfield must be reproduced exactly with exact gradients
+    cells, hs = 64, 0.05
+    x = np.arange(cells) * hs
+    hf = (0.2 * x[:, None] + 0.1 * x[None, :]).astype(np.float32)
+    grid = tgrid.TerrainGrid(jnp.asarray(hf), hs, border_size=0.0,
+                             is_plane=False)
+    xq = jnp.asarray([0.512, 1.003, 2.25])
+    yq = jnp.asarray([0.771, 0.5, 1.11])
+    h, dx, dy = tgrid.height_and_slope(grid, xq, yq)
+    np.testing.assert_allclose(np.asarray(h),
+                               0.2 * np.asarray(xq) + 0.1 * np.asarray(yq),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dx), 0.2, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dy), 0.1, atol=1e-5)

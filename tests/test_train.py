@@ -1,0 +1,82 @@
+"""End-to-end training smoke + checkpoint round-trip + multichip dry run."""
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deep_tracking_control_tpu.env.legged_env import LeggedEnv
+from deep_tracking_control_tpu.runner.train import OnPolicyRunner
+from deep_tracking_control_tpu.tasks.registry import get_cfgs
+
+
+def _tiny(num_envs=8, T=4):
+    task, train = get_cfgs("lite3_dtc")
+    task = dataclasses.replace(
+        task,
+        env=dataclasses.replace(task.env, num_envs=num_envs),
+        terrain=dataclasses.replace(task.terrain, num_rows=2, num_cols=2,
+                                    border_size=4.0, max_init_terrain_level=1))
+    train = dataclasses.replace(
+        train,
+        runner=dataclasses.replace(train.runner, num_steps_per_env=T),
+        algorithm=dataclasses.replace(train.algorithm, num_learning_epochs=1,
+                                      num_mini_batches=2))
+    return task, train
+
+
+@pytest.fixture(scope="module")
+def trained_runner():
+    task, train = _tiny()
+    env = LeggedEnv(task)
+    runner = OnPolicyRunner(env, train, log_dir=None)
+    runner.learn(2, log_every=10**9)
+    return runner
+
+
+def test_training_updates_params(trained_runner):
+    leaves = jax.tree.leaves(trained_runner.params)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    assert trained_runner.current_learning_iteration == 2
+
+
+def test_checkpoint_roundtrip(trained_runner, tmp_path):
+    runner = trained_runner
+    path = os.path.join(str(tmp_path), "model_2")
+    runner.save(path)
+    # rebuild fresh and load
+    task, train = _tiny()
+    env2 = LeggedEnv(task)
+    runner2 = OnPolicyRunner(env2, train, log_dir=None)
+    runner2.load(path)
+    for a, b in zip(jax.tree.leaves(runner.params),
+                    jax.tree.leaves(runner2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert runner2.current_learning_iteration == 2
+    # restored env/curriculum state (beyond-reference capability, SURVEY §5)
+    np.testing.assert_array_equal(
+        np.asarray(runner.env_state["terrain_levels"]),
+        np.asarray(runner2.env_state["terrain_levels"]))
+    # and training continues
+    runner2.learn(1, log_every=10**9)
+
+
+def test_inference_policy(trained_runner):
+    policy = trained_runner.get_inference_policy(teacher=True)
+    s = trained_runner.env_state
+    actions = policy(s["obs"], s["obs_history"], s["privileged_obs"])
+    assert actions.shape == (trained_runner.env.num_envs, 12)
+    assert np.all(np.isfinite(np.asarray(actions)))
+
+
+def test_multichip_dryrun():
+    """The FULL sharded train step on all (8 virtual CPU) devices."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as g
+    n = len(jax.devices())
+    assert n == 8, f"conftest should give 8 cpu devices, got {n}"
+    g.dryrun_multichip(n)

@@ -24,6 +24,7 @@ from ..physics import engine, sim as psim
 from ..robot import quadrupeds
 from ..robot.model import RobotModel, load_urdf
 from ..terrain import grid as tgrid
+from ..terrain import patch as tpatch
 from ..terrain.generator import Terrain
 from . import planner, rewards as rew_mod
 from .config import TaskCfg
@@ -66,6 +67,12 @@ class LeggedEnv:
                 horizontal_scale=cfg.terrain.horizontal_scale)
             self.terrain_origins = None
             self.custom_origins = False
+        # pooled min3/max10 tables + stacked patch source (terrain/patch.py)
+        if not self.grid.is_plane:
+            _min3, _max10 = tpatch.pooled_tables(self.grid)
+            self.patch_tables = jnp.stack([self.grid.height, _min3, _max10])
+        else:
+            self.patch_tables = None
 
         # --- joint constants (legged_robot.py:872-888, 495-508) -------------
         jn = m.joint_names
@@ -322,8 +329,25 @@ class LeggedEnv:
         phys, anchors = state["phys"], state["anchors"]
         lag = state["lag_buffer"]
         default_q = jnp.asarray(self.default_dof_pos)
-        terrain_fn = self._terrain_fn()
         torques = state["torques"]
+
+        # per-env terrain patches, extracted once per policy step; all
+        # height queries this step run as matmul-samples from the patches
+        # (terrain/patch.py; the robot drifts < the patch margin per step)
+        if self.patch_tables is not None:
+            starts, patch_origin = tpatch.patch_starts(self.grid,
+                                                       phys["pos"].T[:, :2])
+            patches = tpatch.extract(self.patch_tables, starts)   # (3,N,P,P)
+            hs = self.grid.horizontal_scale
+
+            def terrain_fn(x, y):
+                # physics layout (K, N) -> sampler layout (N, K) and back
+                h, dx, dy = tpatch.sample_bilinear_slope(
+                    patches[0], patch_origin, hs, x.T, y.T)
+                return h.T, dx.T, dy.T
+        else:
+            patches, patch_origin = None, None
+            terrain_fn = self._terrain_fn()
 
         actions_scaled = actions * cfg.control.action_scale
         # action-lag indices: one randint(1,5) shared across envs per sim
@@ -361,6 +385,8 @@ class LeggedEnv:
 
         state = {**state, "phys": phys, "anchors": anchors, "lag_buffer": lag,
                  "actions": actions, "torques": torques}
+        info["patches"] = patches
+        info["patch_origin"] = patch_origin
         return self._post_physics_step(params, state, info, k_post)
 
     # ------------------------------------------------------------------
@@ -409,14 +435,16 @@ class LeggedEnv:
         cmd_buffer = jnp.concatenate(
             [state["cmd_buffer"][:, 1:], commands[:, None, :]], axis=1)
 
-        # height scan (min-of-3 sampling, legged_robot.py:1279-1317)
+        # height scan (min-of-3 sampling, legged_robot.py:1279-1317) from
+        # the pooled-min3 patch (terrain/patch.py)
         if cfg.terrain.measure_heights and not self.grid.is_plane:
             hp = jnp.asarray(self.height_points)
             pts = qm.quat_apply_yaw(base_quat[:, None, :],
                                     jnp.broadcast_to(hp, (N,) + hp.shape))
             pts = pts + base_pos[:, None, :]
-            measured_heights = tgrid.height_min3(
-                self.grid, pts[..., 0], pts[..., 1])
+            measured_heights = tpatch.sample_nearest(
+                info["patches"][1], info["patch_origin"],
+                self.grid.horizontal_scale, pts[..., 0], pts[..., 1])
         else:
             # plane: zero heights (legged_robot.py:1292-1293)
             measured_heights = jnp.zeros((N, self.num_height_points))
@@ -441,9 +469,12 @@ class LeggedEnv:
                                    jnp.zeros((N, 3)))
 
         # foot clearance (max-of-10 sampling, legged_robot.py:1443-1472)
+        # from the pooled-max10 patch
         if cfg.terrain.measure_foot_clearance and not self.grid.is_plane:
-            h10 = tgrid.height_max10(self.grid, foot_positions[..., 0],
-                                     foot_positions[..., 1])
+            h10 = tpatch.sample_nearest(
+                info["patches"][2], info["patch_origin"],
+                self.grid.horizontal_scale,
+                foot_positions[..., 0], foot_positions[..., 1])
             measured_foot_clearance = foot_positions[..., 2] - h10
         else:
             measured_foot_clearance = foot_positions[..., 2]

@@ -207,10 +207,8 @@ def aba(model: RobotModel, inertias, kin, qd, tau, f_ext, sim: SimParams):
         pA[p] = pA[p] + sp.xf_inv_apply(E, r, pa)
 
     # base: solve IA0 a0 = -pA0  (gravity handled as apparent acceleration)
-    IA0 = jnp.moveaxis(IA[0], -1, 0)       # (N,6,6)
-    pA0 = jnp.moveaxis(pA[0], -1, 0)       # (N,6)
-    a0 = -jnp.linalg.solve(IA0, pA0[..., None])[..., 0]
-    a0 = jnp.moveaxis(a0, 0, -1)           # (6,N)
+    # unrolled LDL^T in the lane-aligned layout (a batched LU kernel is slow)
+    a0 = -sp.solve_spd6(IA[0], pA[0])
 
     a = [a0]
     qdd = []

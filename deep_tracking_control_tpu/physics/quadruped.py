@@ -1,0 +1,201 @@
+"""Leg-batched FK/ABA fast path for quadrupeds.
+
+The generic engine (engine.fk/aba) unrolls the 13-body tree body-by-body:
+correct, but every spatial op is a separate small kernel.  Both built-in
+robots (and any legged_gym-style quadruped) share the structure
+  base + 4 identical chains (HipX, HipY, Knee),
+so the 12 joint bodies can be processed as a (..., 4, N) batch with a
+depth loop of 3 — ~4x fewer, 4x larger kernels on the VPU.  Numerical
+parity with the generic path is tested in tests/test_quadruped_path.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import quat as qm
+from ..ops import spatial as sp
+from ..robot.model import RobotModel
+from .engine import SimParams
+
+
+@dataclasses.dataclass(frozen=True)
+class QuadLayout:
+    """Static indexing of the 4x3 chain structure of a RobotModel."""
+    body_idx: np.ndarray     # (3,4) dynamic-body index at [depth, leg]
+    joint_idx: np.ndarray    # (3,4) joint (q column) index at [depth, leg]
+    axis: np.ndarray         # (3,3) joint axis per depth
+    r: np.ndarray            # (3,4,3) child origin per [depth, leg]
+
+
+def quad_layout(model: RobotModel) -> QuadLayout | None:
+    """Detect the quadruped structure; None if the model doesn't match."""
+    if model.nb != 13:
+        return None
+    body_idx = np.zeros((3, 4), dtype=np.int32)
+    joint_idx = np.zeros((3, 4), dtype=np.int32)
+    axis = np.zeros((3, 3))
+    r = np.zeros((3, 4, 3))
+    for leg in range(4):
+        chain = [1 + 3 * leg, 2 + 3 * leg, 3 + 3 * leg]
+        if model.parent[chain[0]] != 0 or model.parent[chain[1]] != chain[0] \
+                or model.parent[chain[2]] != chain[1]:
+            return None
+        for d, b in enumerate(chain):
+            j = b - 1
+            body_idx[d, leg] = b
+            joint_idx[d, leg] = j
+            r[d, leg] = model.joint_t[j]
+            if leg == 0:
+                axis[d] = model.joint_axis[j]
+            elif not np.allclose(axis[d], model.joint_axis[j]):
+                return None
+            if not np.allclose(model.joint_R[j], np.eye(3)):
+                return None
+    return QuadLayout(body_idx=body_idx, joint_idx=joint_idx, axis=axis, r=r)
+
+
+def fk(model: RobotModel, layout: QuadLayout, state: dict):
+    """Leg-batched forward kinematics.
+
+    Returns the same kin dict shape as engine.fk: R (nb,3,3,N), x (nb,3,N),
+    v (nb,6,N), plus depth-batched internals for the ABA (E_d, r_d lists of
+    (3,3,4,N)/(3,4,1)).
+    """
+    N = state["pos"].shape[-1]
+    R0 = jnp.moveaxis(qm.quat_to_rotmat(jnp.moveaxis(state["quat"], 0, -1)),
+                      0, -1)                                   # (3,3,N)
+    v0 = jnp.concatenate([sp.rtmul(R0, state["ang_vel"]),
+                          sp.rtmul(R0, state["lin_vel"])])     # (6,N)
+
+    R_par = jnp.broadcast_to(R0[:, :, None, :], (3, 3, 4, N))
+    x_par = jnp.broadcast_to(state["pos"][:, None, :], (3, 4, N))
+    v_par = jnp.broadcast_to(v0[:, None, :], (6, 4, N))
+
+    R_depth, x_depth, v_depth, E_depth, r_depth = [], [], [], [], []
+    for d in range(3):
+        qd_cols = state["q"][layout.joint_idx[d]]              # (4,N)
+        dqd_cols = state["qd"][layout.joint_idx[d]]
+        Rj = sp.axis_rotation(layout.axis[d], qd_cols)         # (3,3,4,N)
+        E = jnp.swapaxes(Rj, 0, 1)
+        r = jnp.asarray(layout.r[d].T, dtype=jnp.float32)[:, :, None]  # (3,4,1)
+        S = jnp.concatenate([
+            jnp.asarray(layout.axis[d], dtype=jnp.float32),
+            jnp.zeros(3, dtype=jnp.float32)])[:, None, None]   # (6,1,1)
+        v = sp.xm_apply(E, r, v_par) + S * dqd_cols[None]
+        R = sp.mmul(R_par, Rj)
+        x = x_par + sp.rmul(R_par, jnp.broadcast_to(r, (3, 4, N)))
+        R_depth.append(R); x_depth.append(x); v_depth.append(v)
+        E_depth.append(E); r_depth.append(r)
+        R_par, x_par, v_par = R, x, v
+
+    # scatter into body order for the contact/reporting consumers
+    def gather_body(arrs, base, comp_axes):
+        out = [base]
+        for leg in range(4):
+            for d in range(3):
+                out.append(arrs[d][..., leg, :])
+        return jnp.stack(out)
+
+    kin = dict(
+        R=gather_body(R_depth, R0, 2),
+        x=gather_body(x_depth, state["pos"], 1),
+        v=gather_body(v_depth, v0, 1),
+        E_depth=E_depth, r_depth=r_depth,
+        R_depth=R_depth, v_depth=v_depth, v0=v0, R0=R0,
+    )
+    return kin
+
+
+def aba(model: RobotModel, layout: QuadLayout, inertias, kin, qd, tau,
+        f_ext, sim: SimParams):
+    """Leg-batched articulated-body algorithm.
+
+    inertias: (nb,6,6,N); qd/tau: (nq,N); f_ext: (nb,6,N) world-aligned at
+    body origins.  Returns (qdd (nq,N), a0 (6,N))."""
+    N = qd.shape[-1]
+
+    def depth_arr(a, axes_after=None):
+        """(nb, ..., N) -> list over depth of (..., 4, N)."""
+        out = []
+        for d in range(3):
+            g = a[layout.body_idx[d]]          # (4, ..., N)
+            out.append(jnp.moveaxis(g, 0, -2))
+        return out
+
+    I_depth = depth_arr(inertias)              # (6,6,4,N) per depth
+    fx_depth = depth_arr(f_ext)                # (6,4,N)
+    qd_depth = [qd[layout.joint_idx[d]] for d in range(3)]     # (4,N)
+    tau_depth = [tau[layout.joint_idx[d]] for d in range(3)]
+    S_depth = [jnp.concatenate([
+        jnp.asarray(layout.axis[d], dtype=jnp.float32),
+        jnp.zeros(3, dtype=jnp.float32)])[:, None, None] for d in range(3)]
+
+    # bias forces (body coords) per depth
+    IA = []
+    pA = []
+    for d in range(3):
+        v = kin["v_depth"][d]
+        Iv = sp.imul(I_depth[d], v)
+        p_i = sp.crf(v, Iv)
+        Rb = kin["R_depth"][d]
+        n_b = sp.rtmul(Rb, fx_depth[d][:3])
+        f_b = sp.rtmul(Rb, fx_depth[d][3:])
+        IA.append(I_depth[d])
+        pA.append(p_i - jnp.concatenate([n_b, f_b]))
+
+    # base bias
+    I0 = inertias[0]
+    v0 = kin["v0"]
+    pA0 = sp.crf(v0, sp.imul(I0, v0))
+    n0 = sp.rtmul(kin["R0"], f_ext[0][:3])
+    f0 = sp.rtmul(kin["R0"], f_ext[0][3:])
+    pA0 = pA0 - jnp.concatenate([n0, f0])
+    IA0 = I0
+
+    U = [None] * 3
+    dinv = [None] * 3
+    u = [None] * 3
+    c = [None] * 3
+    for d in range(3):
+        c[d] = sp.crm(kin["v_depth"][d], S_depth[d] * qd_depth[d][None])
+
+    for d in (2, 1, 0):
+        Si = S_depth[d]
+        Ui = sp.imul(IA[d], jnp.broadcast_to(Si, (6, 4, N)))
+        di = jnp.einsum("i...,i...->...", jnp.broadcast_to(Si, (6, 4, N)), Ui) \
+            + sim.armature
+        ui = (tau_depth[d] - sim.joint_friction * qd_depth[d]
+              - jnp.einsum("i...,i...->...", jnp.broadcast_to(Si, (6, 4, N)),
+                           pA[d]))
+        U[d], dinv[d], u[d] = Ui, 1.0 / di, ui
+        Ia = IA[d] - jnp.einsum("i...,j...->ij...", Ui, Ui) * (1.0 / di)
+        pa = pA[d] + sp.imul(Ia, c[d]) + Ui * (ui / di)
+        E, r = kin["E_depth"][d], kin["r_depth"][d]
+        Ia_p = sp.inertia_transform_to_parent(E, r, Ia)        # (6,6,4,N)
+        pa_p = sp.xf_inv_apply(E, r, pa)                       # (6,4,N)
+        if d > 0:
+            IA[d - 1] = IA[d - 1] + Ia_p
+            pA[d - 1] = pA[d - 1] + pa_p
+        else:
+            IA0 = IA0 + jnp.sum(Ia_p, axis=-2)   # (6,6,4,N) -> (6,6,N)
+            pA0 = pA0 + jnp.sum(pa_p, axis=-2)   # (6,4,N) -> (6,N)
+
+    a0 = -sp.solve_spd6(IA0, pA0)
+
+    a_par = jnp.broadcast_to(a0[:, None, :], (6, 4, N))
+    qdd_depth = []
+    for d in range(3):
+        E, r = kin["E_depth"][d], kin["r_depth"][d]
+        a_p = sp.xm_apply(E, r, a_par) + c[d]
+        qdd_d = (u[d] - jnp.einsum("i...,i...->...", U[d], a_p)) * dinv[d]
+        a_par = a_p + S_depth[d] * qdd_d[None]
+        qdd_depth.append(qdd_d)                                # (4,N)
+
+    # scatter back to joint order
+    qdd = jnp.zeros_like(qd)
+    for d in range(3):
+        qdd = qdd.at[layout.joint_idx[d]].set(qdd_depth[d])
+    return qdd, a0

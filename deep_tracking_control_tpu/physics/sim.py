@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..robot.model import RobotModel
-from . import engine
+from . import engine, quadruped
 from .engine import SimParams
 
 
@@ -118,13 +118,15 @@ def sim_step(model: RobotModel, geom: ContactGeometry, sim: SimParams,
     # joint-limit enforcement (PhysX enforces URDF limits natively)
     lim_lo = jnp.asarray(model.pos_limit[:, 0], dtype=jnp.float32)[:, None]
     lim_hi = jnp.asarray(model.pos_limit[:, 1], dtype=jnp.float32)[:, None]
+    layout = quadruped.quad_layout(model)
     for _ in range(sim.substeps):
         q = state["q"]
         tau_lim = (sim.limit_stiffness * (jnp.maximum(lim_lo - q, 0.0)
                                           - jnp.maximum(q - lim_hi, 0.0))
                    - sim.limit_damping * state["qd"]
                    * ((q < lim_lo) | (q > lim_hi)))
-        kin = engine.fk(model, state)
+        kin = (quadruped.fk(model, layout, state) if layout is not None
+               else engine.fk(model, state))
         pts_pos, pts_vel = engine.body_point_state(kin, geom.dyn_idx, geom.offset)
         forces, anchors = engine.heightfield_contact(
             pts_pos, pts_vel, jnp.asarray(geom.radius),
@@ -136,8 +138,12 @@ def sim_step(model: RobotModel, geom: ContactGeometry, sim: SimParams,
             zeros3 = jnp.zeros_like(push_force)
             base_wrench = jnp.concatenate([zeros3, push_force])
             f_ext = f_ext.at[0].add(base_wrench)
-        qdd, a0 = engine.aba(model, inertias, kin, state["qd"], tau + tau_lim,
-                             f_ext, sim)
+        if layout is not None:
+            qdd, a0 = quadruped.aba(model, layout, inertias, kin,
+                                    state["qd"], tau + tau_lim, f_ext, sim)
+        else:
+            qdd, a0 = engine.aba(model, inertias, kin, state["qd"],
+                                 tau + tau_lim, f_ext, sim)
         state = engine.integrate(model, state, kin, qdd, a0, sim, dt)
 
         # reporting-body contact force sums (net_contact_force tensor analog)

@@ -67,12 +67,14 @@ class LeggedEnv:
                 horizontal_scale=cfg.terrain.horizontal_scale)
             self.terrain_origins = None
             self.custom_origins = False
-        # pooled min3/max10 tables + stacked patch source (terrain/patch.py)
+        # pooled min3/max10 tables re-blocked into the patch source
+        # (terrain/patch.py): [0]=raw, [1]=min3, [2]=max10
         if not self.grid.is_plane:
             _min3, _max10 = tpatch.pooled_tables(self.grid)
-            self.patch_tables = jnp.stack([self.grid.height, _min3, _max10])
+            self.patch_src = tpatch.make_source(
+                self.grid, jnp.stack([self.grid.height, _min3, _max10]))
         else:
-            self.patch_tables = None
+            self.patch_src = None
 
         # --- joint constants (legged_robot.py:872-888, 495-508) -------------
         jn = m.joint_names
@@ -334,10 +336,10 @@ class LeggedEnv:
         # per-env terrain patches, extracted once per policy step; all
         # height queries this step run as matmul-samples from the patches
         # (terrain/patch.py; the robot drifts < the patch margin per step)
-        if self.patch_tables is not None:
-            starts, patch_origin = tpatch.patch_starts(self.grid,
+        if self.patch_src is not None:
+            starts, patch_origin = tpatch.patch_starts(self.patch_src,
                                                        phys["pos"].T[:, :2])
-            patches = tpatch.extract(self.patch_tables, starts)   # (3,N,P,P)
+            patches = tpatch.extract(self.patch_src, starts)   # (3,N,Pr,Pc)
             hs = self.grid.horizontal_scale
 
             def terrain_fn(x, y):

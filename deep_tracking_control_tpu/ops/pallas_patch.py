@@ -3,12 +3,13 @@
 XLA lowers the batched dynamic-slice gather (terrain/patch.py extract) to a
 generic scattered gather (~10 ms for 4096 envs) — the single hottest op in
 the env step after the physics.  This kernel replaces it with explicit
-strided DMAs: each grid program issues K async HBM->VMEM copies (one per
-env, all T tables in one slab) and overlaps their latency, leaving the op
-bandwidth-bound (~200 MB per step, well under a millisecond on HBM).
+strided DMAs from the pre-blocked table (terrain/patch.py make_source):
+each grid program issues K async HBM->VMEM copies (one per env: dynamic
+block index, sublane-aligned row offset, full 128-lane minor dim) and
+overlaps their latency, leaving the op bandwidth-bound.
 
 Falls back to the XLA gather on non-TPU backends (tests run the fallback
-plus a small interpret-mode parity check).
+plus an interpret-mode parity check of this kernel).
 """
 from __future__ import annotations
 
@@ -19,19 +20,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..terrain.patch import PATCH_C, PATCH_R
+
 ENVS_PER_PROGRAM = 8
 
 
-def _kernel(P: int, T: int, starts_ref, tables_ref, out_ref, sems):
+def _kernel(starts_ref, blocks_ref, out_ref, sems):
     g = pl.program_id(0)
     K = ENVS_PER_PROGRAM
+    T = blocks_ref.shape[0]
 
     def dma(k):
         i = g * K + k
-        r0 = starts_ref[i, 0]
-        c0 = starts_ref[i, 1]
+        r0 = starts_ref[0, i]
+        b = starts_ref[1, i]
         return pltpu.make_async_copy(
-            tables_ref.at[:, pl.ds(r0, P), pl.ds(c0, P)],
+            blocks_ref.at[:, b, pl.ds(r0, PATCH_R), :],
             out_ref.at[k],
             sems.at[k])
 
@@ -42,10 +46,11 @@ def _kernel(P: int, T: int, starts_ref, tables_ref, out_ref, sems):
         dma(k).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("patch", "interpret"))
-def extract_patches_pallas(tables, starts, patch: int, interpret: bool = False):
-    """tables (T,R,C) f32, starts (N,2) int32 -> (N,T,P,P) f32."""
-    T = tables.shape[0]
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def extract_patches_pallas(blocks, starts, interpret: bool = False):
+    """blocks (T,B,R_pad,128) f32, starts (N,2) int32 (row, col_block) ->
+    (N,T,PATCH_R,PATCH_C) f32."""
+    T = blocks.shape[0]
     N = starts.shape[0]
     K = ENVS_PER_PROGRAM
     pad = (-N) % K
@@ -53,21 +58,23 @@ def extract_patches_pallas(tables, starts, patch: int, interpret: bool = False):
         starts = jnp.concatenate(
             [starts, jnp.zeros((pad, 2), dtype=starts.dtype)], axis=0)
     n_pad = N + pad
+    # SMEM pads each row: ship the prefetch operand as (2, N), not (N, 2)
+    starts = starts.T
 
     out = pl.pallas_call(
-        functools.partial(_kernel, patch, T),
+        _kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_pad // K,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=pl.BlockSpec(
-                (K, T, patch, patch),
+                (K, T, PATCH_R, PATCH_C),
                 lambda g, s: (g, 0, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.SemaphoreType.DMA((K,))],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, T, patch, patch),
-                                       tables.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_pad, T, PATCH_R, PATCH_C),
+                                       blocks.dtype),
         interpret=interpret,
-    )(starts, tables)
+    )(starts, blocks)
     return out[:N]

@@ -247,9 +247,12 @@ class Terrain:
     height of the central 2x2 m patch).
     """
 
-    def __init__(self, cfg, seed: int = 0):
+    def __init__(self, cfg, seed: int = 0, backend: str = "auto"):
+        """backend: "python" | "native" | "auto" — "native" uses the C++
+        generator (native/terrain_gen.cpp) via ctypes; "auto" prefers it
+        when the shared library is available.  The two backends implement
+        identical semantics but use independent RNG streams."""
         self.cfg = cfg
-        rng = np.random.default_rng(seed)
         self.env_length = cfg.terrain_length
         self.env_width = cfg.terrain_width
         lpx = int(self.env_length / cfg.horizontal_scale)
@@ -257,6 +260,20 @@ class Terrain:
         self.border = int(cfg.border_size / cfg.horizontal_scale)
         self.tot_rows = cfg.num_rows * lpx + 2 * self.border
         self.tot_cols = cfg.num_cols * wpx + 2 * self.border
+
+        if backend in ("auto", "native"):
+            from .. import native
+            out = native.generate_terrain(cfg, seed) if native.available() \
+                else None
+            if out is not None:
+                self.height_field_raw, self.env_origins = out
+                self.backend = "native"
+                return
+            if backend == "native":
+                raise RuntimeError("native terrain backend unavailable")
+
+        self.backend = "python"
+        rng = np.random.default_rng(seed)
         self.height_field_raw = np.zeros((self.tot_rows, self.tot_cols),
                                          dtype=np.int16)
         self.env_origins = np.zeros((cfg.num_rows, cfg.num_cols, 3))

@@ -3,22 +3,33 @@
 Scattered `jnp.take` gathers dominate the step time on TPU (the 693-point
 height scan alone costs more than the physics).  TPU-first redesign:
 
-1. Once per policy step, extract a (P, P) axis-aligned patch of the
-   heightfield around each robot (one batched dynamic-slice gather of
-   contiguous rows — cheap memory pattern).
-2. Every height query (contact bilinear+slope, the min-of-3 observation
+1. At init the heightfield (plus min3/max10 pooled variants) is re-blocked
+   into OVERLAPPING 128-column slabs at 64-column stride, padded so every
+   slab is full.  This makes per-env patch extraction a lane-aligned
+   strided copy: leading (block) index + sublane-aligned row offset + full
+   128-lane minor dim — exactly what the TPU DMA engine supports.
+2. Once per policy step, a (64, 128)-cell patch is extracted around each
+   robot — on TPU via a Pallas DMA kernel (ops/pallas_patch.py), elsewhere
+   via batched dynamic-slice.
+3. Every height query (contact bilinear+slope, the min-of-3 observation
    scan, the max-of-10 foot clearance) becomes a SEPARABLE ONE-HOT MATMUL
-   against the local patch:  h[k] = w_row[k] @ patch @ w_col[k], which XLA
-   maps onto the MXU.  Bilinear interpolation falls out by using fractional
-   weights; gradients by using difference weights.
-3. The min3 / max10 stencils are applied ONCE at init as pooled copies of
-   the whole heightfield (static precompute), so their runtime query is a
-   nearest-neighbor matmul-gather from the pooled patch.
+   against the local patch: h[k] = w_row[k] @ patch @ w_col[k] (MXU work,
+   with bilinear weights for interpolation and difference weights for
+   slopes).
+4. The min3 / max10 stencils are applied ONCE at init as pooled copies of
+   the whole heightfield, so their runtime query is a nearest-neighbor
+   matmul-gather from the pooled patch.
+
+Patch coverage: rows [r0, r0+64), cols [64b, 64b+128) chosen so the robot
+sits >= 24 rows / 32 cols from every edge — covers the rotated 33x21 scan
+grid (radius 0.94 m at 0.05 m scale = 19 cells) plus per-step drift.
 
 Numerical parity with terrain/grid.py's direct gathers is tested in
 tests/test_patch.py.
 """
 from __future__ import annotations
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -26,8 +37,10 @@ import numpy as np
 
 from .grid import TerrainGrid
 
-PATCH = 64          # cells: 3.2 m at 0.05 m scale; covers the rotated scan
-                    # grid (radius 0.94 m) + feet + per-step drift
+PATCH_R = 64        # rows per patch (sublane-aligned starts)
+COL_BLOCK = 64      # column stride between overlapping slabs
+PATCH_C = 128       # columns per patch (full lane width)
+ROW_ALIGN = 8       # f32 sublane tile
 
 
 def pooled_tables(grid: TerrainGrid):
@@ -52,49 +65,87 @@ def pooled_tables(grid: TerrainGrid):
     return min3, max10
 
 
-def patch_starts(grid: TerrainGrid, base_xy):
-    """Per-env patch start cell (N,2) int32 + world origin (N,2) float."""
-    R, C = grid.height.shape
-    hs = grid.horizontal_scale
-    fx = (base_xy[:, 0] + grid.border_size) / hs - PATCH / 2
-    fy = (base_xy[:, 1] + grid.border_size) / hs - PATCH / 2
-    sr = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, max(R - PATCH, 0))
-    sc = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, max(C - PATCH, 0))
-    origin = jnp.stack([sr.astype(jnp.float32) * hs - grid.border_size,
-                        sc.astype(jnp.float32) * hs - grid.border_size],
-                       axis=1)
-    return jnp.stack([sr, sc], axis=1), origin
+@dataclasses.dataclass
+class PatchSource:
+    """Blocked patch source: blocks (T, B, R_pad, 128), + grid geometry."""
+    blocks: jnp.ndarray
+    n_blocks: int
+    n_rows: int
+    horizontal_scale: float
+    border_size: float
+
+    def tree_flatten(self):
+        return (self.blocks,), (self.n_blocks, self.n_rows,
+                                self.horizontal_scale, self.border_size)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
 
 
-def extract(tables, starts):
-    """Batched patch extraction: tables (T,R,C), starts (N,2) ->
-    (T,N,P,P).
+jax.tree_util.register_pytree_node(
+    PatchSource, PatchSource.tree_flatten, PatchSource.tree_unflatten)
 
-    On TPU this runs as a Pallas DMA kernel (ops/pallas_patch.py); elsewhere
-    as a batched dynamic-slice gather."""
+
+def make_source(grid: TerrainGrid, tables) -> PatchSource:
+    """Re-block (T, R, C) tables into (T, B, R_pad, 128) overlapping slabs."""
+    T, R, C = tables.shape
+    n_blocks = max(-(-C // COL_BLOCK), 1)
+    # pad cols so every slab [64b, 64b+128) is full, rows so r0+64 <= R_pad
+    pad_c = n_blocks * COL_BLOCK + (PATCH_C - COL_BLOCK) - C
+    pad_r = PATCH_R
+    padded = jnp.pad(tables, ((0, 0), (0, pad_r), (0, max(pad_c, 0))),
+                     mode="edge")
+    blocks = jnp.stack([padded[:, :, b * COL_BLOCK:b * COL_BLOCK + PATCH_C]
+                        for b in range(n_blocks)], axis=1)
+    return PatchSource(blocks=blocks, n_blocks=n_blocks, n_rows=R,
+                       horizontal_scale=grid.horizontal_scale,
+                       border_size=grid.border_size)
+
+
+def patch_starts(src: PatchSource, base_xy):
+    """Per-env (row_start, col_block) (N,2) int32 + world origin (N,2)."""
+    hs = src.horizontal_scale
+    fr = (base_xy[:, 0] + src.border_size) / hs - PATCH_R / 2
+    r0 = jnp.floor(fr / ROW_ALIGN).astype(jnp.int32) * ROW_ALIGN
+    r0 = jnp.clip(r0, 0, max(src.n_rows - 1, 0))
+    fc = (base_xy[:, 1] + src.border_size) / hs - PATCH_C / 2
+    b = jnp.clip(jnp.round(fc / COL_BLOCK).astype(jnp.int32),
+                 0, src.n_blocks - 1)
+    origin = jnp.stack(
+        [r0.astype(jnp.float32) * hs - src.border_size,
+         (b * COL_BLOCK).astype(jnp.float32) * hs - src.border_size], axis=1)
+    return jnp.stack([r0, b], axis=1), origin
+
+
+def extract(src: PatchSource, starts):
+    """Patch extraction: -> (T, N, PATCH_R, PATCH_C).
+
+    TPU: Pallas DMA kernel (ops/pallas_patch.py); else dynamic-slice."""
     if jax.default_backend() != "cpu":
         from ..ops.pallas_patch import extract_patches_pallas
-        out = extract_patches_pallas(tables, starts, PATCH)  # (N,T,P,P)
+        out = extract_patches_pallas(src.blocks, starts)   # (N,T,Pr,Pc)
         return jnp.swapaxes(out, 0, 1)
 
     def one(s):
-        return jax.lax.dynamic_slice(tables, (0, s[0], s[1]),
-                                     (tables.shape[0], PATCH, PATCH))
+        return jax.lax.dynamic_slice(
+            src.blocks, (0, s[1], s[0], 0),
+            (src.blocks.shape[0], 1, PATCH_R, PATCH_C))[:, 0]
     return jnp.swapaxes(jax.vmap(one)(starts), 0, 1)
 
 
-def _weights_nearest(f):
-    """(N,K) fractional local coords -> (N,K,P) one-hot at floor(f)."""
-    idx = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, PATCH - 1)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, PATCH), 2)
+def _weights_nearest(f, size):
+    """(N,K) fractional local coords -> (N,K,size) one-hot at floor(f)."""
+    idx = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, size - 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, size), 2)
     return (idx[..., None] == iota).astype(jnp.float32)
 
 
-def _weights_bilinear(f):
-    """-> (w (N,K,P), dw (N,K,P)) bilinear + derivative weights."""
-    i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, PATCH - 2)
+def _weights_bilinear(f, size):
+    """-> (w (N,K,size), dw (N,K,size)) bilinear + derivative weights."""
+    i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, size - 2)
     t = jnp.clip(f - i0.astype(f.dtype), 0.0, 1.0)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, PATCH), 2)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, size), 2)
     e0 = (i0[..., None] == iota).astype(jnp.float32)
     e1 = ((i0 + 1)[..., None] == iota).astype(jnp.float32)
     w = e0 * (1.0 - t)[..., None] + e1 * t[..., None]
@@ -103,7 +154,7 @@ def _weights_bilinear(f):
 
 
 def _rowdot(w_r, patches):
-    """(N,K,P) x (N,P,P) -> (N,K,P) row contraction (MXU)."""
+    """(N,K,Pr) x (N,Pr,Pc) -> (N,K,Pc) row contraction (MXU)."""
     return jnp.einsum("nkp,npq->nkq", w_r, patches,
                       preferred_element_type=jnp.float32)
 
@@ -114,8 +165,8 @@ def sample_bilinear_slope(patches, origin, hs, x, y):
     grid.height_and_slope)."""
     fr = (x - origin[:, 0:1]) / hs
     fc = (y - origin[:, 1:2]) / hs
-    wr, dwr = _weights_bilinear(fr)
-    wc, dwc = _weights_bilinear(fc)
+    wr, dwr = _weights_bilinear(fr, PATCH_R)
+    wc, dwc = _weights_bilinear(fc, PATCH_C)
     rows_w = _rowdot(wr, patches)
     rows_d = _rowdot(dwr, patches)
     h = jnp.einsum("nkq,nkq->nk", rows_w, wc)
@@ -130,7 +181,7 @@ def sample_nearest(patches, origin, hs, x, y):
     (N,K) -> (N,K).  Used for the min3 scan and max10 clearance."""
     fr = (x - origin[:, 0:1]) / hs
     fc = (y - origin[:, 1:2]) / hs
-    wr = _weights_nearest(fr)
-    wc = _weights_nearest(fc)
+    wr = _weights_nearest(fr, PATCH_R)
+    wc = _weights_nearest(fc, PATCH_C)
     rows = _rowdot(wr, patches)
     return jnp.einsum("nkq,nkq->nk", rows, wc)

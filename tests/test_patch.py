@@ -31,8 +31,9 @@ def test_patch_bilinear_matches_grid_query():
     rng = np.random.default_rng(1)
     N, K = 8, 24
     base = rng.uniform(-2.0, 2.0, (N, 2)).astype(np.float32)
-    starts, origin = tpatch.patch_starts(grid, jnp.asarray(base))
-    patches = tpatch.extract(grid.height[None], starts)[0]
+    src = tpatch.make_source(grid, grid.height[None])
+    starts, origin = tpatch.patch_starts(src, jnp.asarray(base))
+    patches = tpatch.extract(src, starts)[0]
     # query points within +-1 m of each base
     x = base[:, 0:1] + rng.uniform(-1, 1, (N, K)).astype(np.float32)
     y = base[:, 1:2] + rng.uniform(-1, 1, (N, K)).astype(np.float32)
@@ -51,8 +52,9 @@ def test_patch_min3_matches_direct():
     rng = np.random.default_rng(2)
     N, K = 8, 64
     base = rng.uniform(-2.0, 2.0, (N, 2)).astype(np.float32)
-    starts, origin = tpatch.patch_starts(grid, jnp.asarray(base))
-    patches = tpatch.extract(min3[None], starts)[0]
+    src = tpatch.make_source(grid, min3[None])
+    starts, origin = tpatch.patch_starts(src, jnp.asarray(base))
+    patches = tpatch.extract(src, starts)[0]
     x = base[:, 0:1] + rng.uniform(-1, 1, (N, K)).astype(np.float32)
     y = base[:, 1:2] + rng.uniform(-1, 1, (N, K)).astype(np.float32)
     got = tpatch.sample_nearest(patches, origin, grid.horizontal_scale,
@@ -65,10 +67,27 @@ def test_patch_clamps_at_border():
     grid = _grid(128)
     # robot beyond the map corner: start clamps, queries clip into the patch
     base = jnp.asarray([[-100.0, -100.0], [100.0, 100.0]])
-    starts, origin = tpatch.patch_starts(grid, base)
+    src = tpatch.make_source(grid, grid.height[None])
+    starts, origin = tpatch.patch_starts(src, base)
     assert np.all(np.asarray(starts) >= 0)
-    patches = tpatch.extract(grid.height[None], starts)[0]
+    patches = tpatch.extract(src, starts)[0]
     h, _, _ = tpatch.sample_bilinear_slope(
         patches, origin, grid.horizontal_scale,
         base[:, 0:1], base[:, 1:2])
     assert np.all(np.isfinite(np.asarray(h)))
+
+
+def test_pallas_kernel_interpret_parity():
+    """The Pallas DMA extraction matches the dynamic-slice fallback
+    (interpret mode on CPU)."""
+    from deep_tracking_control_tpu.ops.pallas_patch import (
+        extract_patches_pallas)
+    grid = _grid(200)
+    src = tpatch.make_source(grid, grid.height[None])
+    rng = np.random.default_rng(3)
+    base = rng.uniform(-3.0, 3.0, (6, 2)).astype(np.float32)
+    starts, origin = tpatch.patch_starts(src, jnp.asarray(base))
+    want = tpatch.extract(src, starts)                 # cpu fallback
+    got = jnp.swapaxes(
+        extract_patches_pallas(src.blocks, starts, interpret=True), 0, 1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

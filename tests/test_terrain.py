@@ -111,3 +111,32 @@ def test_bilinear_interpolation_exact_on_plane():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(dx), 0.2, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dy), 0.1, atol=1e-5)
+
+
+def test_native_backend_structural_parity():
+    """C++ generator (native/terrain_gen.cpp) produces the same world
+    structure as the Python backend: shapes, origins xy, deterministic per
+    seed, comparable tile statistics (independent RNG streams, so values
+    differ but distributions must agree)."""
+    from deep_tracking_control_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    cfg = TerrainCfg(num_rows=3, num_cols=2, border_size=5.0, curriculum=True)
+    tn = Terrain(cfg, seed=3, backend="native")
+    tp = Terrain(cfg, seed=3, backend="python")
+    assert tn.backend == "native"
+    assert tn.height_field_raw.shape == tp.height_field_raw.shape
+    np.testing.assert_allclose(tn.env_origins[..., :2], tp.env_origins[..., :2])
+    # determinism per seed
+    tn2 = Terrain(cfg, seed=3, backend="native")
+    assert np.array_equal(tn.height_field_raw, tn2.height_field_raw)
+    # curriculum tiles are the same TYPES: stair rows must contain stairs etc.
+    # compare per-tile value ranges loosely
+    b = tn.border
+    lpx = int(cfg.terrain_length / cfg.horizontal_scale)
+    for i in range(cfg.num_rows):
+        for j in range(cfg.num_cols):
+            a = tn.height_field_raw[b + i*lpx:b+(i+1)*lpx, b + j*lpx:b+(j+1)*lpx]
+            p = tp.height_field_raw[b + i*lpx:b+(i+1)*lpx, b + j*lpx:b+(j+1)*lpx]
+            assert abs(int(a.max()) - int(p.max())) <= max(40, int(0.6*abs(int(p.max())))+40)

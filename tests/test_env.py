@@ -134,3 +134,23 @@ def test_commands_small_zeroed(small_env):
     c = np.asarray(state["commands"])
     nrm = np.linalg.norm(c[:, :2], axis=1)
     assert np.all((nrm == 0.0) | (nrm > 0.1))
+
+
+def test_vec_env_adapter():
+    """VecEnv facade: reference-style stateful API over the pure core."""
+    import dataclasses as dc
+    from deep_tracking_control_tpu.env.vec_env import VecEnv
+    task, _ = get_cfgs("lite3_dtc")
+    task = dc.replace(
+        task,
+        env=dc.replace(task.env, num_envs=2),
+        terrain=dc.replace(task.terrain, num_rows=2, num_cols=2,
+                           border_size=4.0, max_init_terrain_level=1))
+    venv = VecEnv(LeggedEnv(task), seed=0)
+    assert venv.num_obs == 53 and venv.num_privileged_obs == 1389
+    obs = venv.reset()
+    assert obs["obs"].shape == (2, 53)
+    obs, rew, done, info = venv.step(jnp.zeros((2, 12)))
+    assert obs["obs_history"].shape == (2, 265)
+    assert rew.shape == (2,) and done.shape == (2,)
+    assert "time_outs" in info and "episode" in info

@@ -52,21 +52,74 @@ def make_optimizers(alg: AlgorithmCfg):
 
 @dataclasses.dataclass
 class PPO:
-    """Pure-function PPO over an ActorCriticDecoder net apply fn."""
-    net: Any                       # flax module (ActorCriticDecoder)
+    """Pure-function PPO over an actor-critic flax module.
+
+    policy_kind:
+      "decoder" — ActorCriticDecoder (the reference's live teacher path):
+        actor consumes [obs, z, mu_vel, l_t], critic the privileged obs,
+        and the update includes the joint VAE step (ppo.py:197-254).
+      "mlp" — plain ActorCritic (actor_critic.py:38): actor(obs),
+        critic(obs) (critic_observations = observations,
+        rollout_storage.py:175), no VAE step.
+      "recurrent" — ActorCriticRecurrent (actor_critic_recurrent.py:40):
+        GRU/LSTM carries collected during rollout; the update REPLAYS the
+        RNN over the stored (T, N) rollout from the rollout-start carry
+        with in-sequence resets at dones, minibatching over the env axis —
+        the static-shape equivalent of the reference's split-and-pad
+        recurrent generator (rollout_storage.py:217-267).
+    """
+    net: Any                       # flax module
     alg: AlgorithmCfg
+    policy_kind: str = "decoder"
+
+    def _stats(self, params, obs, obs_history, privileged_obs, rng):
+        if self.policy_kind == "decoder":
+            mean, std, _, _ = self.net.apply(
+                params, obs, obs_history, privileged_obs, rng,
+                method=self.net.act_stats)
+            return mean, std
+        mean, std, _ = self.net.apply(params, obs, obs)
+        return mean, std
+
+    def _value(self, params, obs, privileged_obs, base_vel):
+        if self.policy_kind == "decoder":
+            return self.net.apply(params, obs, privileged_obs, base_vel,
+                                  method=self.net.evaluate)
+        _, _, value = self.net.apply(params, obs, obs)
+        return value
+
+    # ---------------- recurrent helpers ----------------
+    def act_recurrent(self, params, obs, carry_a, carry_c, key):
+        """One recurrent acting step; returns stats + new carries."""
+        mean, std, value, carry_a, carry_c = self.net.apply(
+            params, obs, obs, carry_a, carry_c)
+        actions = mean + std * jax.random.normal(key, mean.shape)
+        log_prob = normal_log_prob(mean, std, actions)
+        return dict(actions=actions, log_prob=log_prob, values=value,
+                    mu=mean, sigma=std), carry_a, carry_c
+
+    def _replay(self, params, obs_seq, dones, init_a, init_c):
+        """Replay the RNN over (T, M, D) with carry resets at dones."""
+        def step(carry, inp):
+            ca, cc = carry
+            obs, done = inp
+            mean, std, value, ca, cc = self.net.apply(params, obs, obs, ca, cc)
+            reset = done[:, None]
+            ca = jax.tree.map(lambda c: jnp.where(reset, 0.0, c), ca)
+            cc = jax.tree.map(lambda c: jnp.where(reset, 0.0, c), cc)
+            return (ca, cc), (mean, std, value)
+        _, (mean, std, value) = jax.lax.scan(step, (init_a, init_c),
+                                             (obs_seq, dones))
+        return mean, std, value
 
     # ---------------- acting (collection) ----------------
     def act(self, params, obs, obs_history, privileged_obs, base_vel, key):
         """Sample actions + stats (PPO.act, ppo.py:137-155)."""
         k_z, k_a = jax.random.split(key)
-        mean, std, _, _ = self.net.apply(
-            params, obs, obs_history, privileged_obs, k_z,
-            method=self.net.act_stats)
+        mean, std = self._stats(params, obs, obs_history, privileged_obs, k_z)
         actions = mean + std * jax.random.normal(k_a, mean.shape)
         log_prob = normal_log_prob(mean, std, actions)
-        values = self.net.apply(params, obs, privileged_obs, base_vel,
-                                method=self.net.evaluate)
+        values = self._value(params, obs, privileged_obs, base_vel)
         return dict(actions=actions, log_prob=log_prob, values=values,
                     mu=mean, sigma=std)
 
@@ -93,6 +146,82 @@ class PPO:
         returns = advs + values
         advantages = (advs - advs.mean()) / (advs.std() + 1e-8)
         return returns, advantages
+
+    # ---------------- recurrent update ----------------
+    def update_recurrent(self, params, opt_state, learning_rate, batch, key):
+        """Recurrent PPO update: minibatch over ENVS, replay the RNN over
+        the T axis from the stored rollout-start carry (the TPU-native
+        reccurent_mini_batch_generator, rollout_storage.py:217-267)."""
+        alg = self.alg
+        main_opt, _ = make_optimizers(alg)
+        T, N = batch["values"].shape
+        nmb = alg.num_mini_batches
+        mb_envs = N // nmb
+        k_perm, k_upd = jax.random.split(key)
+        perms = jax.vmap(lambda k: jax.random.permutation(k, N))(
+            jax.random.split(k_perm, alg.num_learning_epochs))
+        idx = perms[:, :nmb * mb_envs].reshape(
+            alg.num_learning_epochs * nmb, mb_envs)
+
+        def minibatch_step(carry, xs):
+            params, opt_state, lr = carry
+            env_idx, k = xs
+            # sequences are (T, N, ...); the rollout-start carries are (N, H)
+            mb = {k_: jnp.take(v, env_idx, axis=0 if k_.startswith("init_carry")
+                               else 1)
+                  for k_, v in batch.items()}
+
+            def pol_loss_fn(p):
+                mean, std, value = self._replay(
+                    p, mb["obs"], mb["dones_prev"],
+                    mb["init_carry_a"], mb["init_carry_c"])
+                log_prob = normal_log_prob(mean, std, mb["actions"])
+                ratio = jnp.exp(log_prob - mb["old_log_prob"])
+                adv = mb["advantages"]
+                surr = -adv * ratio
+                surr_c = -adv * jnp.clip(ratio, 1.0 - alg.clip_param,
+                                         1.0 + alg.clip_param)
+                surrogate_loss = jnp.mean(jnp.maximum(surr, surr_c))
+                v_clipped = mb["values"] + jnp.clip(
+                    value - mb["values"], -alg.clip_param, alg.clip_param)
+                v_loss = jnp.maximum(jnp.square(value - mb["returns"]),
+                                     jnp.square(v_clipped - mb["returns"]))
+                value_loss = jnp.mean(v_loss)
+                entropy = jnp.mean(normal_entropy(std))
+                loss = (surrogate_loss + alg.value_loss_coef * value_loss
+                        - alg.entropy_coef * entropy)
+                kl = jnp.sum(
+                    jnp.log(std / mb["old_sigma"] + 1e-5)
+                    + (jnp.square(mb["old_sigma"])
+                       + jnp.square(mb["old_mu"] - mean))
+                    / (2.0 * jnp.square(std)) - 0.5, axis=-1)
+                return loss, (surrogate_loss, value_loss, entropy,
+                              jnp.mean(kl))
+
+            (loss, (surr_l, val_l, ent, kl_mean)), grads = \
+                jax.value_and_grad(pol_loss_fn, has_aux=True)(params)
+            if alg.schedule == "adaptive" and alg.desired_kl is not None:
+                lr = jnp.where(kl_mean > alg.desired_kl * 2.0,
+                               jnp.maximum(1e-5, lr / 1.5), lr)
+                lr = jnp.where((kl_mean < alg.desired_kl / 2.0) & (kl_mean > 0),
+                               jnp.minimum(1e-2, lr * 1.5), lr)
+            inj = opt_state[1]
+            inj = inj._replace(hyperparams={**inj.hyperparams,
+                                            "learning_rate": lr})
+            opt_state = (opt_state[0], inj)
+            updates, opt_state = main_opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            zero = jnp.zeros(())
+            stats = dict(value_loss=val_l, surrogate_loss=surr_l, entropy=ent,
+                         kl=kl_mean, recons_loss=zero, vel_loss=zero,
+                         kld_loss=zero, height_loss=zero, lr=lr)
+            return (params, opt_state, lr), stats
+
+        n_steps = idx.shape[0]
+        (params, opt_state, learning_rate), stats = jax.lax.scan(
+            minibatch_step, (params, opt_state, learning_rate),
+            (idx, jax.random.split(k_upd, n_steps)))
+        return params, opt_state, learning_rate, jax.tree.map(jnp.mean, stats)
 
     # ---------------- update ----------------
     def update(self, params, opt_state, vae_opt_state, learning_rate,
@@ -124,31 +253,33 @@ class PPO:
             mb = jax.tree.map(lambda x: x[mb_idx], flat)
             k_vae, k_pol = jax.random.split(k)
 
-            # ---- VAE step (ppo.py:197-254)
-            def vae_loss_fn(p):
-                recons, vel, kld, height = self.net.apply(
-                    p, mb["obs_history"], mb["privileged_obs"],
-                    mb["next_obs"], mb["base_vel"], k_vae,
-                    method=self.net.vae_losses)
-                loss = recons + vel + alg.kld_weight * kld + height
-                return loss, (recons, vel, kld, height)
+            if self.policy_kind == "decoder":
+                # ---- VAE step (ppo.py:197-254)
+                def vae_loss_fn(p):
+                    recons, vel, kld, height = self.net.apply(
+                        p, mb["obs_history"], mb["privileged_obs"],
+                        mb["next_obs"], mb["base_vel"], k_vae,
+                        method=self.net.vae_losses)
+                    loss = recons + vel + alg.kld_weight * kld + height
+                    return loss, (recons, vel, kld, height)
 
-            (vae_loss, (recons_l, vel_l, kld_l, height_l)), vae_grads = \
-                jax.value_and_grad(vae_loss_fn, has_aux=True)(params)
-            vae_updates, vae_opt_state = vae_opt.update(vae_grads,
-                                                        vae_opt_state, params)
-            # only vae-subtree grads are nonzero; apply directly
-            params = optax.apply_updates(params, mask_non_vae(vae_updates))
+                (vae_loss, (recons_l, vel_l, kld_l, height_l)), vae_grads = \
+                    jax.value_and_grad(vae_loss_fn, has_aux=True)(params)
+                vae_updates, vae_opt_state = vae_opt.update(
+                    vae_grads, vae_opt_state, params)
+                # only vae-subtree grads are nonzero; apply directly
+                params = optax.apply_updates(params, mask_non_vae(vae_updates))
+            else:
+                zero = jnp.zeros(())
+                recons_l = vel_l = kld_l = height_l = zero
 
             # ---- policy step (ppo.py:265-335)
             def pol_loss_fn(p):
-                mean, std, _, _ = self.net.apply(
-                    p, mb["obs"], mb["obs_history"], mb["privileged_obs"],
-                    k_pol, method=self.net.act_stats)
+                mean, std = self._stats(p, mb["obs"], mb["obs_history"],
+                                        mb["privileged_obs"], k_pol)
                 log_prob = normal_log_prob(mean, std, mb["actions"])
-                value = self.net.apply(p, mb["obs"], mb["privileged_obs"],
-                                       mb["base_vel"],
-                                       method=self.net.evaluate)
+                value = self._value(p, mb["obs"], mb["privileged_obs"],
+                                    mb["base_vel"])
                 ratio = jnp.exp(log_prob - mb["old_log_prob"])
                 adv = mb["advantages"]
                 surr = -adv * ratio

@@ -513,9 +513,19 @@ class LeggedEnv:
             if cfg.terrain.measure_heights:
                 ny = cfg.terrain.measured_y_dim
                 lo_i, hi_i = 10 * ny, (cfg.terrain.measured_x_dim - 10) * ny
-                center = jnp.clip(measured_heights[:, lo_i:hi_i], 0.0, None)
+                # Reference check (dtc.py:243-245): mean(z - clip(h, 0)) <
+                # 0.15.  The clip makes stepping-stone holes count as level
+                # ground so falling in terminates — but it ALSO insta-kills
+                # every spawn on tiles whose platform sits below world zero
+                # (stairs-down pyramids), permanently locking those env
+                # columns into 1-step episodes.  Deliberate fix: measure
+                # relative to the env origin height; identical to the
+                # reference on every tile with origin z = 0.
+                oz = state["env_origins"][:, 2:3]
+                center = jnp.clip(measured_heights[:, lo_i:hi_i] - oz,
+                                  0.0, None)
                 reset_buf = reset_buf | (
-                    jnp.mean(base_pos[:, 2:3] - center, axis=1) < 0.15)
+                    jnp.mean(base_pos[:, 2:3] - oz - center, axis=1) < 0.15)
         else:
             if cfg.terrain.measure_heights:
                 ny = cfg.terrain.measured_y_dim
@@ -569,6 +579,7 @@ class LeggedEnv:
             acc_points=jnp.asarray(self.acc_points),
             optimal_footholds_world=optimal_footholds_world,
             root_z=base_pos[:, 2],
+            env_origin_z=state["env_origins"][:, 2],
             reset_buf=reset_buf, time_out_buf=time_out_buf,
             updates={},
         )
@@ -680,6 +691,24 @@ class LeggedEnv:
         keys = jax.random.split(key, 10)
         d1 = done[:, None]
 
+        # command curriculum (update_command_curriculum,
+        # legged_robot.py:716-726): widen lin_vel_x when the tracking
+        # reward of the resetting envs exceeds 80% of its ceiling; updated
+        # only every max_episode_length steps (reset_idx gating, :216-217)
+        cmd_range = state["command_lin_vel_x"]
+        if cfg.commands.curriculum and "tracking_lin_vel" in self.episode_sum_names:
+            gate = (state["common_step"] % self.max_episode_length) == 0
+            n_done = jnp.maximum(jnp.sum(done.astype(jnp.float32)), 1.0)
+            mean_track = jnp.sum(jnp.where(
+                done, state["episode_sums"]["tracking_lin_vel"], 0.0)) / n_done
+            good = (mean_track / self.max_episode_length
+                    > 0.8 * self.reward_scales_dt["tracking_lin_vel"])
+            mc = cfg.commands.max_curriculum
+            widened = jnp.stack([jnp.clip(cmd_range[0] - 0.5, -mc, 0.0),
+                                 jnp.clip(cmd_range[1] + 0.5, 0.0, mc)])
+            cmd_range = jnp.where(gate & good & (jnp.sum(done) > 0),
+                                  widened, cmd_range)
+
         # terrain curriculum (legged_robot.py:690-714)
         levels = state["terrain_levels"]
         env_origins = state["env_origins"]
@@ -726,7 +755,7 @@ class LeggedEnv:
 
         # commands for reset envs (legged_robot.py:225)
         commands = self._resample_commands_where(
-            state["commands"], done, state["command_lin_vel_x"], keys[4])
+            state["commands"], done, cmd_range, keys[4])
 
         # per-episode actuator DR (legged_robot.py:465-481): one scalar/env
         dr = cfg.domain_rand
@@ -755,6 +784,7 @@ class LeggedEnv:
 
         zeros_nq = jnp.zeros((N, m.nq))
         return {**state,
+                "command_lin_vel_x": cmd_range,
                 "phys": phys,
                 "anchors": anchors,
                 "terrain_levels": levels,

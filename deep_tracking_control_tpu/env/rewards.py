@@ -230,8 +230,13 @@ def reward_base_height(ctx):
 
 
 def reward_foothold_miss(ctx):
+    # foot below the hole line = missed foothold (dtc.py:536-539).  The
+    # reference compares against world z=0 (annotated "for stepping stone
+    # only"); here the line is the env-origin height so sunken tiles
+    # (stairs-down) don't accrue a permanent penalty — identical on all
+    # origin-z=0 tiles.
     min_z = jnp.min(ctx["foot_positions"][:, :, 2], axis=-1)
-    return (min_z < 0.0).astype(jnp.float32)
+    return (min_z < ctx["env_origin_z"]).astype(jnp.float32)
 
 
 def reward_soft_tracking_lin_vel(ctx, tolerance=0.0, lookback=3):

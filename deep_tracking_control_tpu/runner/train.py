@@ -22,7 +22,7 @@ import numpy as np
 from ..agent.ppo import PPO, make_optimizers
 from ..env.config import TrainCfg
 from ..env.legged_env import LeggedEnv
-from ..models.networks import ActorCriticDecoder
+from ..models.networks import ActorCritic, ActorCriticDecoder
 from ..parallel import mesh as pmesh
 
 
@@ -39,26 +39,41 @@ class OnPolicyRunner:
         self.tot_time = 0.0
 
         pol = train_cfg.policy
-        self.net = ActorCriticDecoder(
-            num_obs=env.num_obs,
-            num_privileged_obs=env.num_privileged_obs,
-            num_actions=env.num_actions,
-            obs_history_dim=env.num_obs_history,
-            terrain_dim=env.num_height_points,
-            terrain_latent=pol.terrain_latent,
-            z_dim=pol.cenet_latent,
-            actor_hidden=tuple(pol.actor_hidden_dims),
-            critic_hidden=tuple(pol.critic_hidden_dims),
-            activation=pol.activation,
-            init_noise_std=pol.init_noise_std)
-        self.ppo = PPO(net=self.net, alg=train_cfg.algorithm)
-
         key = jax.random.PRNGKey(train_cfg.runner.seed)
         self.key, k_net, k_env = jax.random.split(key, 3)
-        dummy = (jnp.zeros((1, env.num_obs)),
-                 jnp.zeros((1, env.num_obs_history)),
-                 jnp.zeros((1, env.num_privileged_obs)),
-                 jnp.zeros((1, 3)), jax.random.PRNGKey(0))
+        if pol.policy_class_name == "ActorCriticDecoder":
+            self.net = ActorCriticDecoder(
+                num_obs=env.num_obs,
+                num_privileged_obs=env.num_privileged_obs,
+                num_actions=env.num_actions,
+                obs_history_dim=env.num_obs_history,
+                terrain_dim=env.num_height_points,
+                terrain_latent=pol.terrain_latent,
+                z_dim=pol.cenet_latent,
+                actor_hidden=tuple(pol.actor_hidden_dims),
+                critic_hidden=tuple(pol.critic_hidden_dims),
+                activation=pol.activation,
+                init_noise_std=pol.init_noise_std)
+            dummy = (jnp.zeros((1, env.num_obs)),
+                     jnp.zeros((1, env.num_obs_history)),
+                     jnp.zeros((1, env.num_privileged_obs)),
+                     jnp.zeros((1, 3)), jax.random.PRNGKey(0))
+            policy_kind = "decoder"
+        elif pol.policy_class_name == "ActorCritic":
+            self.net = ActorCritic(
+                num_obs=env.num_obs, num_critic_obs=env.num_obs,
+                num_actions=env.num_actions,
+                actor_hidden=tuple(pol.actor_hidden_dims),
+                critic_hidden=tuple(pol.critic_hidden_dims),
+                activation=pol.activation,
+                init_noise_std=pol.init_noise_std)
+            dummy = (jnp.zeros((1, env.num_obs)), jnp.zeros((1, env.num_obs)))
+            policy_kind = "mlp"
+        else:
+            raise ValueError(
+                f"unsupported policy_class_name {pol.policy_class_name!r}")
+        self.ppo = PPO(net=self.net, alg=train_cfg.algorithm,
+                       policy_kind=policy_kind)
         self.params = self.net.init(k_net, *dummy)
         main_opt, vae_opt = make_optimizers(train_cfg.algorithm)
         self.opt_state = main_opt.init(self.params)
@@ -132,10 +147,9 @@ class OnPolicyRunner:
                 rollout_body, (env_state, log_state),
                 jax.random.split(k_roll, T))
 
-            last_values = net.apply(params, env_state["obs"],
-                                    env_state["privileged_obs"],
-                                    env_state["base_vel"],
-                                    method=net.evaluate)
+            last_values = ppo._value(params, env_state["obs"],
+                                     env_state["privileged_obs"],
+                                     env_state["base_vel"])
             returns, advantages = ppo.compute_gae(
                 batch["rewards"], batch["dones"], batch["values"], last_values)
             batch = {**batch, "returns": returns, "advantages": advantages}
@@ -281,6 +295,12 @@ class OnPolicyRunner:
         deterministic policy obs_dict -> actions."""
         net = self.net
         params = self.params
+        if self.ppo.policy_kind == "mlp":
+            @jax.jit
+            def policy(obs, obs_history, privileged_obs):
+                mean, _, _ = net.apply(params, obs, obs)
+                return mean
+            return policy
 
         @jax.jit
         def policy(obs, obs_history, privileged_obs):

@@ -131,3 +131,50 @@ def test_vae_optimizer_only_touches_vae():
     diff = max(float(jnp.max(jnp.abs(a - b))) for a, b in
                zip(jax.tree.leaves(p0["vae"]), jax.tree.leaves(p1["vae"])))
     assert diff > 0
+
+
+def test_recurrent_update():
+    """Recurrent PPO path: replay-based update changes params, stays finite."""
+    from deep_tracking_control_tpu.models.networks import ActorCriticRecurrent
+    net = ActorCriticRecurrent(num_obs=10, num_critic_obs=10, num_actions=4,
+                               rnn_hidden_size=16, actor_hidden=(16,),
+                               critic_hidden=(16,))
+    rng = np.random.default_rng(0)
+    T, N, H = 6, 8, 16
+    carry = jnp.zeros((N, 10))
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((N, 10)),
+                      jnp.zeros((N, 10)), jnp.zeros((N, H)), jnp.zeros((N, H)))
+    alg = AlgorithmCfg(num_learning_epochs=1, num_mini_batches=2)
+    ppo = PPO(net=net, alg=alg, policy_kind="recurrent")
+    # collect a rollout with act_recurrent
+    ca = cc = jnp.zeros((N, H))
+    init_a, init_c = ca, cc
+    rows = []
+    key = jax.random.PRNGKey(1)
+    obs_seq = jnp.asarray(rng.normal(size=(T, N, 10)), dtype=jnp.float32)
+    dones = jnp.asarray(rng.random((T, N)) < 0.2)
+    for t in range(T):
+        key, k = jax.random.split(key)
+        a, ca, cc = ppo.act_recurrent(params, obs_seq[t], ca, cc, k)
+        rows.append(a)
+    stack = lambda k: jnp.stack([r[k] for r in rows])
+    dones_prev = jnp.concatenate([jnp.zeros((1, N), bool), dones[:-1]])
+    batch = dict(obs=obs_seq, actions=stack("actions"),
+                 values=stack("values"), old_log_prob=stack("log_prob"),
+                 old_mu=stack("mu"), old_sigma=stack("sigma"),
+                 returns=stack("values") + 0.1,
+                 advantages=jnp.asarray(rng.normal(size=(T, N)), dtype=jnp.float32),
+                 dones_prev=dones_prev,
+                 init_carry_a=jnp.broadcast_to(init_a, (T,) + init_a.shape)[0],
+                 init_carry_c=init_c)
+    # init carries are per-env (not per-step): shape (N,H)
+    batch["init_carry_a"] = init_a
+    main_opt, _ = make_optimizers(alg)
+    opt_state = main_opt.init(params)
+    new_params, _, new_lr, stats = jax.jit(ppo.update_recurrent)(
+        params, opt_state, jnp.asarray(alg.learning_rate), batch,
+        jax.random.PRNGKey(3))
+    diff = max(float(jnp.max(jnp.abs(a - b))) for a, b in
+               zip(jax.tree.leaves(params), jax.tree.leaves(new_params)))
+    assert diff > 0 and np.isfinite(diff)
+    assert np.isfinite(float(stats["value_loss"]))

@@ -29,6 +29,7 @@ class EnvCfg:
     num_observation_history: int = 5
     episode_length_s: float = 20.0
     send_timeouts: bool = True
+    debug_viz: bool = False           # export planner internals each step
     env_spacing: float = 1.0
     play_command: bool = False        # play_commond, lite3_dtc_config.py:15
 

@@ -495,9 +495,15 @@ class LeggedEnv:
                 cfg.terrain.measured_points_x, cfg.terrain.measured_points_y)
             foothold_obs = plan["foothold_obs"]
             optimal_footholds_world = plan["optimal_footholds_world"]
+            debug = (dict(heights_world=plan["heights_world"],
+                          foothold_score=plan["foothold_score"],
+                          pred_footholds=plan["pred_footholds"],
+                          foot_positions=foot_positions)
+                     if cfg.env.debug_viz else None)
         else:
             foothold_obs = state["foothold_obs"] * 0.0
             optimal_footholds_world = foot_positions
+            debug = None
 
         # ---- termination (dtc.py:229-251 / legged_robot.py:178-198) --------
         if len(self.termination_idx):
@@ -638,6 +644,8 @@ class LeggedEnv:
                    base_vel=obs_out["base_vel"],
                    rew=rew_buf, done=reset_buf, time_out=time_out_buf,
                    metrics=metrics)
+        if debug is not None:
+            out["debug"] = debug               # env.debug_viz (config :12)
         return new_state, out
 
     # ------------------------------------------------------------------

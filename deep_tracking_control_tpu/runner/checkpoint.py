@@ -21,6 +21,13 @@ def save(path: str, tree):
     ckptr.wait_until_finished()
 
 
+def load_raw(path: str):
+    """Restore with the stored shapes/dtypes (no abstract template)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path)
+
+
 def load(path: str, like_tree):
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()

@@ -268,26 +268,35 @@ class OnPolicyRunner:
         ))
 
     def load(self, path: str, load_optimizer: bool = True):
+        """Restore a checkpoint.  Env/curriculum state is adopted only when
+        the checkpoint's env count matches this runner's (evaluation
+        typically rebuilds with fewer envs — then only params/optimizer/RNG
+        are restored, like the reference's torch.load path,
+        on_policy_runner.py:257-264)."""
         from . import checkpoint as ckpt
-        restored = ckpt.load(path, dict(
-            params=self.params,
-            opt_state=self.opt_state,
-            vae_opt_state=self.vae_opt_state,
-            learning_rate=self.learning_rate,
-            iter=0,
-            key=self.key,
-            env_state=self.env_state,
-            env_params=self.env_params,
-        ))
-        self.params = restored["params"]
+        restored = ckpt.load_raw(path)
+        self.params = jax.tree.map(jnp.asarray, restored["params"])
         if load_optimizer:
-            self.opt_state = restored["opt_state"]
-            self.vae_opt_state = restored["vae_opt_state"]
-            self.learning_rate = restored["learning_rate"]
+            self.opt_state = jax.tree.map(
+                jnp.asarray, restored["opt_state"],
+                is_leaf=lambda x: x is None)
+            self.vae_opt_state = jax.tree.map(
+                jnp.asarray, restored["vae_opt_state"],
+                is_leaf=lambda x: x is None)
+            self.learning_rate = jnp.asarray(restored["learning_rate"])
         self.current_learning_iteration = int(restored["iter"])
-        self.key = restored["key"]
-        self.env_state = restored["env_state"]
-        self.env_params = restored["env_params"]
+        self.key = jnp.asarray(restored["key"])
+        ck_envs = restored["env_state"]["commands"].shape[0]
+        if ck_envs == self.env.num_envs:
+            self.env_state = pmesh.apply_shardings(
+                jax.tree.map(jnp.asarray, restored["env_state"]),
+                self._state_shardings)
+            self.env_params = pmesh.apply_shardings(
+                jax.tree.map(jnp.asarray, restored["env_params"]),
+                self._params_shardings)
+        else:
+            print(f"checkpoint has {ck_envs} envs, runner has "
+                  f"{self.env.num_envs}: keeping fresh env state")
 
     # ------------------------------------------------------------------
     def get_inference_policy(self, teacher: bool = True):

@@ -19,6 +19,7 @@ def get_args(argv=None):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--max_iterations", type=int, default=None)
     p.add_argument("--log_root", type=str, default="logs")
+    p.add_argument("--debug_viz", action="store_true", default=False)
     return p.parse_args(argv)
 
 

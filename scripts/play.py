@@ -38,6 +38,9 @@ def play(args, steps: int = 1000):
                                         push_robots=False,
                                         randomize_friction=False),
     )
+    if getattr(args, "debug_viz", False):
+        task_cfg = dataclasses.replace(
+            task_cfg, env=dataclasses.replace(task_cfg.env, debug_viz=True))
     env = LeggedEnv(task_cfg, terrain_seed=train_cfg.runner.seed)
     runner = OnPolicyRunner(env, train_cfg, log_dir=None)
     root = os.path.join(args.log_root, train_cfg.runner.experiment_name)
@@ -61,6 +64,20 @@ def play(args, steps: int = 1000):
             z = float(state["phys"]["pos"][2, 0])
             print(f"step {i:5d} cmd=({cmd[0]:+.2f},{cmd[1]:+.2f}) "
                   f"vel=({vel[0]:+.2f},{vel[1]:+.2f}) z={z:+.3f}")
+            if "debug" in out and i % 100 == 0:
+                from deep_tracking_control_tpu.utils.debug_viz import (
+                    draw_foothold_debug)
+                d = out["debug"]
+                draw_foothold_debug(
+                    f"/tmp/dtc_debug_{i:05d}.png",
+                    np.asarray(env.grid.height), env.grid.horizontal_scale,
+                    env.grid.border_size,
+                    np.asarray(state["phys"]["pos"][:, 0]),
+                    np.asarray(d["heights_world"][0]),
+                    np.asarray(d["foothold_score"][0]),
+                    np.asarray(d["pred_footholds"][0]),
+                    np.asarray(state["optimal_footholds_world"][0]),
+                    np.asarray(d["foot_positions"][0]))
 
 
 if __name__ == "__main__":

@@ -158,10 +158,9 @@ class PPO:
         nmb = alg.num_mini_batches
         mb_envs = N // nmb
         k_perm, k_upd = jax.random.split(key)
-        perms = jax.vmap(lambda k: jax.random.permutation(k, N))(
-            jax.random.split(k_perm, alg.num_learning_epochs))
-        idx = perms[:, :nmb * mb_envs].reshape(
-            alg.num_learning_epochs * nmb, mb_envs)
+        perm = jax.random.permutation(k_perm, N)
+        idx = jnp.tile(perm[:nmb * mb_envs].reshape(nmb, mb_envs),
+                       (alg.num_learning_epochs, 1))
 
         def minibatch_step(carry, xs):
             params, opt_state, lr = carry
@@ -242,10 +241,12 @@ class PPO:
         flat = jax.tree.map(lambda x: x.reshape((total,) + x.shape[2:]), batch)
 
         k_perm, k_upd = jax.random.split(key)
-        perms = jax.vmap(lambda k: jax.random.permutation(k, total))(
-            jax.random.split(k_perm, alg.num_learning_epochs))
-        idx = perms[:, :nmb * mb_size].reshape(
-            alg.num_learning_epochs * nmb, mb_size)
+        # ONE permutation reused across epochs (rollout_storage.py:165
+        # draws randperm once outside the epoch loop); a permutation is a
+        # device sort, so this also saves num_epochs-1 sorts per update
+        perm = jax.random.permutation(k_perm, total)
+        idx = jnp.tile(perm[:nmb * mb_size].reshape(nmb, mb_size),
+                       (alg.num_learning_epochs, 1))
 
         def minibatch_step(carry, xs):
             params, opt_state, vae_opt_state, lr = carry

@@ -22,10 +22,20 @@ def save(path: str, tree):
 
 
 def load_raw(path: str):
-    """Restore with the stored shapes/dtypes (no abstract template)."""
+    """Restore with the stored shapes/dtypes (no abstract template).
+
+    NOTE: container types degrade to dicts/lists — optimizer states lose
+    their NamedTuple classes; use `load` with a template for those."""
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path)
+
+
+def metadata(path: str):
+    """Stored tree metadata (shapes/dtypes) without reading array data."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.metadata(path)
 
 
 def load(path: str, like_tree):

@@ -274,26 +274,42 @@ class OnPolicyRunner:
         are restored, like the reference's torch.load path,
         on_policy_runner.py:257-264)."""
         from . import checkpoint as ckpt
-        restored = ckpt.load_raw(path)
-        self.params = jax.tree.map(jnp.asarray, restored["params"])
+        # restore template: runner objects for params/optimizers (preserves
+        # the optax NamedTuple state classes), STORED shapes for env pieces
+        # (the checkpoint may hold a different env count than this runner)
+        meta = ckpt.metadata(path)
+
+        def abstract(m):
+            return jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(tuple(x.shape), x.dtype), m)
+
+        restored = ckpt.load(path, dict(
+            params=self.params,
+            opt_state=self.opt_state,
+            vae_opt_state=self.vae_opt_state,
+            learning_rate=self.learning_rate,
+            iter=0,
+            key=self.key,
+            env_state=abstract(meta.item_metadata["env_state"]
+                               if hasattr(meta, "item_metadata")
+                               else meta["env_state"]),
+            env_params=abstract(meta.item_metadata["env_params"]
+                                if hasattr(meta, "item_metadata")
+                                else meta["env_params"]),
+        ))
+        self.params = restored["params"]
         if load_optimizer:
-            self.opt_state = jax.tree.map(
-                jnp.asarray, restored["opt_state"],
-                is_leaf=lambda x: x is None)
-            self.vae_opt_state = jax.tree.map(
-                jnp.asarray, restored["vae_opt_state"],
-                is_leaf=lambda x: x is None)
-            self.learning_rate = jnp.asarray(restored["learning_rate"])
+            self.opt_state = restored["opt_state"]
+            self.vae_opt_state = restored["vae_opt_state"]
+            self.learning_rate = restored["learning_rate"]
         self.current_learning_iteration = int(restored["iter"])
-        self.key = jnp.asarray(restored["key"])
+        self.key = restored["key"]
         ck_envs = restored["env_state"]["commands"].shape[0]
         if ck_envs == self.env.num_envs:
-            self.env_state = pmesh.apply_shardings(
-                jax.tree.map(jnp.asarray, restored["env_state"]),
-                self._state_shardings)
-            self.env_params = pmesh.apply_shardings(
-                jax.tree.map(jnp.asarray, restored["env_params"]),
-                self._params_shardings)
+            self.env_state = pmesh.apply_shardings(restored["env_state"],
+                                                   self._state_shardings)
+            self.env_params = pmesh.apply_shardings(restored["env_params"],
+                                                    self._params_shardings)
         else:
             print(f"checkpoint has {ck_envs} envs, runner has "
                   f"{self.env.num_envs}: keeping fresh env state")

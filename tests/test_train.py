@@ -80,3 +80,22 @@ def test_multichip_dryrun():
     n = len(jax.devices())
     assert n == 8, f"conftest should give 8 cpu devices, got {n}"
     g.dryrun_multichip(n)
+
+
+def test_checkpoint_restore_into_different_env_count(trained_runner, tmp_path):
+    """Eval-style restore: params/optimizer restored, fresh env state kept
+    when the checkpoint's env count differs (play.py path)."""
+    path = os.path.join(str(tmp_path), "model_x")
+    trained_runner.save(path)
+    task, train = _tiny(num_envs=4)      # checkpoint was saved with 8
+    env = LeggedEnv(task)
+    runner = OnPolicyRunner(env, train, log_dir=None)
+    runner.load(path, load_optimizer=False)
+    for a, b in zip(jax.tree.leaves(trained_runner.params),
+                    jax.tree.leaves(runner.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert runner.env_state["commands"].shape[0] == 4
+    policy = runner.get_inference_policy()
+    s = runner.env_state
+    actions = policy(s["obs"], s["obs_history"], s["privileged_obs"])
+    assert actions.shape == (4, 12)

@@ -32,7 +32,14 @@ class OnPolicyRunner:
         self.env = env
         self.cfg = train_cfg
         self.log_dir = log_dir
-        self.mesh = mesh if mesh is not None else pmesh.make_mesh()
+        if mesh is None:
+            # largest device prefix that divides the env count
+            devs = jax.devices()
+            n = len(devs)
+            while n > 1 and env.num_envs % n:
+                n -= 1
+            mesh = pmesh.make_mesh(devs[:n])
+        self.mesh = mesh
         self.writer = writer
         self.current_learning_iteration = 0
         self.tot_timesteps = 0

@@ -127,11 +127,36 @@ def motion_xform_matrix(E, r):
 def inertia_transform_to_parent(E, r, I_c):
     """Articulated inertia: child coords -> parent coords.
 
-    I^p = X^T I^c X with X = cXp (see Featherstone 2.66).
+    I^p = X^T I^c X with X = cXp = [[E,0],[F,E]], F = -E r^ (Featherstone
+    2.66), evaluated block-wise on 3x3 blocks — avoids materializing the
+    half-zero 6x6 transform and its double 6x6x6 contraction:
+      I^p = [[E^T(AE+BF) + F^T(CE+DF),  E^T B E + F^T D E],
+             [E^T(CE+DF),               E^T D E]].
     I_c: (6,6,...) -> (6,6,...).
     """
-    X = motion_xform_matrix(E, r)
-    return jnp.einsum("ki...,kl...,lj...->ij...", X, I_c, X)
+    A, B = I_c[:3, :3], I_c[:3, 3:]
+    C, D = I_c[3:, :3], I_c[3:, 3:]
+    batch = jnp.broadcast_shapes(E.shape[2:], r.shape[1:])
+    rb = jnp.broadcast_to(r, (3,) + batch)
+    rx, ry, rz = rb[0], rb[1], rb[2]
+    z = jnp.zeros(batch, dtype=E.dtype)
+    rhat = jnp.stack([
+        jnp.stack([z, -rz, ry]),
+        jnp.stack([rz, z, -rx]),
+        jnp.stack([-ry, rx, z]),
+    ])
+    Eb = jnp.broadcast_to(E, (3, 3) + batch)
+    F = -mmul(Eb, rhat)
+    Et = jnp.swapaxes(Eb, 0, 1)
+    Ft = jnp.swapaxes(F, 0, 1)
+    AE_BF = mmul(A, Eb) + mmul(B, F)
+    CE_DF = mmul(C, Eb) + mmul(D, F)
+    DE = mmul(D, Eb)
+    bl = mmul(Et, CE_DF)                      # bottom-left = top-right^T
+    top = jnp.concatenate([mmul(Et, AE_BF) + mmul(Ft, CE_DF),
+                           jnp.swapaxes(bl, 0, 1)], axis=1)
+    bot = jnp.concatenate([bl, mmul(Et, DE)], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
 
 
 def spatial_inertia(mass, com, inertia_com):

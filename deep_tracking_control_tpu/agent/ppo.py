@@ -242,16 +242,21 @@ class PPO:
 
         k_perm, k_upd = jax.random.split(key)
         # ONE permutation reused across epochs (rollout_storage.py:165
-        # draws randperm once outside the epoch loop); a permutation is a
-        # device sort, so this also saves num_epochs-1 sorts per update
-        perm = jax.random.permutation(k_perm, total)
-        idx = jnp.tile(perm[:nmb * mb_size].reshape(nmb, mb_size),
-                       (alg.num_learning_epochs, 1))
+        # draws randperm once outside the epoch loop), applied to the flat
+        # batch ONCE — minibatches are then contiguous slices, so the
+        # expensive row gather happens 1x per update instead of
+        # epochs*minibatches times
+        perm = jax.random.permutation(k_perm, total)[:nmb * mb_size]
+        flat = jax.tree.map(lambda x: x[perm], flat)
+        offsets = jnp.tile(jnp.arange(nmb) * mb_size,
+                           alg.num_learning_epochs)
 
         def minibatch_step(carry, xs):
             params, opt_state, vae_opt_state, lr = carry
-            mb_idx, k = xs
-            mb = jax.tree.map(lambda x: x[mb_idx], flat)
+            start, k = xs
+            mb = jax.tree.map(
+                lambda x: jax.lax.dynamic_slice_in_dim(x, start, mb_size, 0),
+                flat)
             k_vae, k_pol = jax.random.split(k)
 
             if self.policy_kind == "decoder":
@@ -329,11 +334,11 @@ class PPO:
                          lr=lr)
             return (params, opt_state, vae_opt_state, lr), stats
 
-        n_steps = idx.shape[0]
+        n_steps = offsets.shape[0]
         (params, opt_state, vae_opt_state, learning_rate), stats = \
             jax.lax.scan(minibatch_step,
                          (params, opt_state, vae_opt_state, learning_rate),
-                         (idx, jax.random.split(k_upd, n_steps)))
+                         (offsets, jax.random.split(k_upd, n_steps)))
         mean_stats = jax.tree.map(jnp.mean, stats)
         return params, opt_state, vae_opt_state, learning_rate, mean_stats
 

@@ -12,9 +12,6 @@ consume it.  The transposes at the boundary are fused away by XLA.
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -33,18 +33,55 @@ def cross3(a, b):
 
 
 def rmul(R, v):
-    """(3,3,...) @ (3,...) -> (3,...). R maps coords; batch trails."""
-    return jnp.einsum("ij...,j...->i...", R, v)
+    """(3,3,...) @ (3,...) -> (3,...). R maps coords; batch trails.
+
+    Unrolled multiply-adds: einsum would lower to dot_general, which on TPU
+    transposes these tiny leading dims toward the MXU — pure VPU elementwise
+    fuses into the surrounding chains instead."""
+    return jnp.stack([
+        R[0, 0] * v[0] + R[0, 1] * v[1] + R[0, 2] * v[2],
+        R[1, 0] * v[0] + R[1, 1] * v[1] + R[1, 2] * v[2],
+        R[2, 0] * v[0] + R[2, 1] * v[1] + R[2, 2] * v[2],
+    ])
 
 
 def rtmul(R, v):
-    """R^T @ v with trailing batch."""
-    return jnp.einsum("ji...,j...->i...", R, v)
+    """R^T @ v with trailing batch (unrolled, see rmul)."""
+    return jnp.stack([
+        R[0, 0] * v[0] + R[1, 0] * v[1] + R[2, 0] * v[2],
+        R[0, 1] * v[0] + R[1, 1] * v[1] + R[2, 1] * v[2],
+        R[0, 2] * v[0] + R[1, 2] * v[1] + R[2, 2] * v[2],
+    ])
 
 
 def mmul(A, B):
-    """(r,k,...) @ (k,c,...) -> (r,c,...)."""
-    return jnp.einsum("ik...,kj...->ij...", A, B)
+    """(r,k,...) @ (k,c,...) -> (r,c,...) as unrolled multiply-adds."""
+    r, k = A.shape[0], A.shape[1]
+    c = B.shape[1]
+    rows = []
+    for i in range(r):
+        cols = []
+        for j in range(c):
+            acc = A[i, 0] * B[0, j]
+            for l in range(1, k):
+                acc = acc + A[i, l] * B[l, j]
+            cols.append(acc)
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)
+
+
+def dot_leading(a, b):
+    """Sum_i a[i]*b[i] over the leading axis (unrolled)."""
+    acc = a[0] * b[0]
+    for i in range(1, a.shape[0]):
+        acc = acc + a[i] * b[i]
+    return acc
+
+
+def outer_leading(a, b):
+    """(n,...),(m,...) -> (n,m,...) outer product on leading axes."""
+    return jnp.stack([jnp.stack([a[i] * b[j] for j in range(b.shape[0])])
+                      for i in range(a.shape[0])])
 
 
 # ---------------------------------------------------------------------------
@@ -181,8 +218,14 @@ def spatial_inertia(mass, com, inertia_com):
 
 
 def imul(I, m):
-    """(6,6,...) @ (6,...) -> (6,...)."""
-    return jnp.einsum("ij...,j...->i...", I, m)
+    """(6,6,...) @ (6,...) -> (6,...) as unrolled multiply-adds."""
+    out = []
+    for i in range(6):
+        acc = I[i, 0] * m[0]
+        for j in range(1, 6):
+            acc = acc + I[i, j] * m[j]
+        out.append(acc)
+    return jnp.stack(out)
 
 
 def solve_spd6(A, b, reg: float = 1e-8):

@@ -14,9 +14,9 @@ world lin vel / world ang vel (legged_robot.py:140-147 slices).
 
 Solver-fidelity notes vs the reference PhysX config
 (legged_robot_config.py:209-226): dt defaults to 0.005; PhysX's TGS position
-iterations are replaced by (a) implicit-in-velocity penalty springs (the
-normal force uses end-of-step predicted penetration), (b) a small joint
-armature regularizer, and (c) a per-contact force clamp playing the role of
+iterations are replaced by (a) an implicitly-solved penalty normal spring,
+(b) stiction-anchor tangential friction, (c) a small joint armature
+regularizer, and (d) a per-contact force clamp playing the role of
 max_depenetration_velocity.  Behavioural gates (drop/stand/friction tests)
 live in tests/test_physics.py.
 """
@@ -196,11 +196,11 @@ def aba(model: RobotModel, inertias, kin, qd, tau, f_ext, sim: SimParams):
         p = int(model.parent[i])
         Si = S[j][:, None]
         Ui = sp.imul(IA[i], jnp.broadcast_to(Si, (6, N)))
-        di = jnp.einsum("i...,i...->...", Si, Ui) + sim.armature
+        di = sp.dot_leading(jnp.broadcast_to(Si, (6, N)), Ui) + sim.armature
         tau_j = tau[j] - sim.joint_friction * qd[j]
-        ui = tau_j - jnp.einsum("i...,i...->...", Si, pA[i])
+        ui = tau_j - sp.dot_leading(jnp.broadcast_to(Si, (6, N)), pA[i])
         U[i], d[i], u[i] = Ui, di, ui
-        Ia = IA[i] - jnp.einsum("i...,j...->ij...", Ui, Ui) / di
+        Ia = IA[i] - sp.outer_leading(Ui, Ui) / di
         pa = pA[i] + sp.imul(Ia, c[i]) + Ui * (ui / di)
         E, r = kin["E"][i], kin["r"][i]
         IA[p] = IA[p] + sp.inertia_transform_to_parent(E, r, Ia)
@@ -218,7 +218,7 @@ def aba(model: RobotModel, inertias, kin, qd, tau, f_ext, sim: SimParams):
         E, r = kin["E"][i], kin["r"][i]
         Si = S[j][:, None]
         a_p = sp.xm_apply(E, r, a[p]) + c[i]
-        qdd_j = (u[i] - jnp.einsum("i...,i...->...", U[i], a_p)) / d[i]
+        qdd_j = (u[i] - sp.dot_leading(U[i], a_p)) / d[i]
         a.append(a_p + Si * qdd_j)
         qdd.append(qdd_j)
     return jnp.stack(qdd), a0
@@ -331,6 +331,15 @@ def accumulate_body_forces(nb, point_dyn_idx: np.ndarray, kin,
     f = jnp.moveaxis(forces, 1, 0)                     # (3,P,N)
     n = sp.cross3(arm, f)                              # torque about body origin
     wrench = jnp.concatenate([n, f])                   # (6,P,N)
-    # segment-sum over the (small, static) point axis via one-hot contraction
-    onehot = jnp.asarray(np.eye(nb, dtype=np.float32)[point_dyn_idx])  # (P,nb)
-    return jnp.einsum("pb,ip...->bi...", onehot, wrench)
+    # segment-sum over the small static point axis as explicit adds (a
+    # one-hot einsum would lower to a layout-thrashing dot_general)
+    N = wrench.shape[-1]
+    zero = jnp.zeros((6, N), dtype=wrench.dtype)
+    out = []
+    for b in range(nb):
+        idxs = [p for p in range(len(point_dyn_idx)) if point_dyn_idx[p] == b]
+        acc = zero
+        for p in idxs:
+            acc = acc + wrench[:, p]
+        out.append(acc)
+    return jnp.stack(out)

@@ -164,14 +164,13 @@ def aba(model: RobotModel, layout: QuadLayout, inertias, kin, qd, tau,
 
     for d in (2, 1, 0):
         Si = S_depth[d]
-        Ui = sp.imul(IA[d], jnp.broadcast_to(Si, (6, 4, N)))
-        di = jnp.einsum("i...,i...->...", jnp.broadcast_to(Si, (6, 4, N)), Ui) \
-            + sim.armature
+        Sb = jnp.broadcast_to(Si, (6, 4, N))
+        Ui = sp.imul(IA[d], Sb)
+        di = sp.dot_leading(Sb, Ui) + sim.armature
         ui = (tau_depth[d] - sim.joint_friction * qd_depth[d]
-              - jnp.einsum("i...,i...->...", jnp.broadcast_to(Si, (6, 4, N)),
-                           pA[d]))
+              - sp.dot_leading(Sb, pA[d]))
         U[d], dinv[d], u[d] = Ui, 1.0 / di, ui
-        Ia = IA[d] - jnp.einsum("i...,j...->ij...", Ui, Ui) * (1.0 / di)
+        Ia = IA[d] - sp.outer_leading(Ui, Ui) * (1.0 / di)
         pa = pA[d] + sp.imul(Ia, c[d]) + Ui * (ui / di)
         E, r = kin["E_depth"][d], kin["r_depth"][d]
         Ia_p = sp.inertia_transform_to_parent(E, r, Ia)        # (6,6,4,N)
@@ -190,7 +189,7 @@ def aba(model: RobotModel, layout: QuadLayout, inertias, kin, qd, tau,
     for d in range(3):
         E, r = kin["E_depth"][d], kin["r_depth"][d]
         a_p = sp.xm_apply(E, r, a_par) + c[d]
-        qdd_d = (u[d] - jnp.einsum("i...,i...->...", U[d], a_p)) * dinv[d]
+        qdd_d = (u[d] - sp.dot_leading(U[d], a_p)) * dinv[d]
         a_par = a_p + S_depth[d] * qdd_d[None]
         qdd_depth.append(qdd_d)                                # (4,N)
 

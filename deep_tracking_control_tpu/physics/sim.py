@@ -146,10 +146,13 @@ def sim_step(model: RobotModel, geom: ContactGeometry, sim: SimParams,
                                  tau + tau_lim, f_ext, sim)
         state = engine.integrate(model, state, kin, qdd, a0, sim, dt)
 
-        # reporting-body contact force sums (net_contact_force tensor analog)
-        onehot = jnp.asarray(
-            np.eye(nrb, dtype=np.float32)[geom.report_idx])   # (P,nrb)
-        rep = jnp.einsum("pb,pi...->bi...", onehot, forces)
+        # reporting-body contact force sums (net_contact_force tensor
+        # analog), as static per-body adds (see accumulate_body_forces)
+        zero = jnp.zeros(forces.shape[1:], dtype=forces.dtype)
+        rep = jnp.stack([
+            sum((forces[p] for p in range(len(geom.report_idx))
+                 if geom.report_idx[p] == b), zero)
+            for b in range(nrb)])
         contact_rep = rep if contact_rep is None else contact_rep + rep
         foot_pos = pts_pos[:nf]
         foot_vel = pts_vel[:nf]

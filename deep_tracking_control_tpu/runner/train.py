@@ -9,11 +9,10 @@ collectives (parallel/mesh.py).
 """
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
 from collections import deque
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

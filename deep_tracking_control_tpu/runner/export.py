@@ -16,8 +16,10 @@ import jax.numpy as jnp
 
 
 def export_policy(net, params, num_obs: int, num_obs_history: int,
-                  num_privileged_obs: int, path: str) -> str:
-    """Serialize act_teacher(obs, obs_history, privileged_obs) -> actions.
+                  num_privileged_obs: int, path: str,
+                  batch_size: int = 1) -> str:
+    """Serialize act_teacher(obs, obs_history, privileged_obs) -> actions
+    at a fixed deployment batch size (default 1 robot).
 
     Returns the written file path (<path>/policy.stablehlo).
     """
@@ -27,11 +29,10 @@ def export_policy(net, params, num_obs: int, num_obs_history: int,
         return net.apply(params, obs, hist, priv, method=net.act_teacher)
 
     from jax import export as jexport
-    b = jexport.symbolic_shape("b")
     exported = jexport.export(jax.jit(fn))(
-        jax.ShapeDtypeStruct((b, num_obs), jnp.float32),
-        jax.ShapeDtypeStruct((b, num_obs_history), jnp.float32),
-        jax.ShapeDtypeStruct((b, num_privileged_obs), jnp.float32))
+        jax.ShapeDtypeStruct((batch_size, num_obs), jnp.float32),
+        jax.ShapeDtypeStruct((batch_size, num_obs_history), jnp.float32),
+        jax.ShapeDtypeStruct((batch_size, num_privileged_obs), jnp.float32))
     out = os.path.join(path, "policy.stablehlo")
     with open(out, "wb") as f:
         f.write(exported.serialize())

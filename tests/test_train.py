@@ -99,3 +99,21 @@ def test_checkpoint_restore_into_different_env_count(trained_runner, tmp_path):
     s = runner.env_state
     actions = policy(s["obs"], s["obs_history"], s["privileged_obs"])
     assert actions.shape == (4, 12)
+
+
+def test_policy_export_roundtrip(trained_runner, tmp_path):
+    """StableHLO export (runner/export.py): serialize act_teacher, reload,
+    outputs match the live network (TorchScript-export capability analog)."""
+    from deep_tracking_control_tpu.runner import export as pexp
+    runner = trained_runner
+    env = runner.env
+    out = pexp.export_policy(runner.net, runner.params, env.num_obs,
+                             env.num_obs_history, env.num_privileged_obs,
+                             str(tmp_path), batch_size=env.num_envs)
+    assert os.path.exists(out)
+    fn = pexp.load_policy(str(tmp_path))
+    s = runner.env_state
+    got = fn(s["obs"], s["obs_history"], s["privileged_obs"])
+    want = runner.get_inference_policy()(s["obs"], s["obs_history"],
+                                         s["privileged_obs"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -28,7 +28,6 @@ ENVS_PER_PROGRAM = 8
 def _kernel(starts_ref, blocks_ref, out_ref, sems):
     g = pl.program_id(0)
     K = ENVS_PER_PROGRAM
-    T = blocks_ref.shape[0]
 
     def dma(k):
         i = g * K + k
@@ -36,7 +35,7 @@ def _kernel(starts_ref, blocks_ref, out_ref, sems):
         b = starts_ref[1, i]
         return pltpu.make_async_copy(
             blocks_ref.at[:, b, pl.ds(r0, PATCH_R), :],
-            out_ref.at[k],
+            out_ref.at[:, k],
             sems.at[k])
 
     # issue all K copies, then wait: latency overlaps across envs
@@ -49,7 +48,7 @@ def _kernel(starts_ref, blocks_ref, out_ref, sems):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def extract_patches_pallas(blocks, starts, interpret: bool = False):
     """blocks (T,B,R_pad,128) f32, starts (N,2) int32 (row, col_block) ->
-    (N,T,PATCH_R,PATCH_C) f32."""
+    (T,N,PATCH_R,PATCH_C) f32 (table-major: no transpose for consumers)."""
     T = blocks.shape[0]
     N = starts.shape[0]
     K = ENVS_PER_PROGRAM
@@ -68,13 +67,13 @@ def extract_patches_pallas(blocks, starts, interpret: bool = False):
             grid=(n_pad // K,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=pl.BlockSpec(
-                (K, T, PATCH_R, PATCH_C),
-                lambda g, s: (g, 0, 0, 0),
+                (T, K, PATCH_R, PATCH_C),
+                lambda g, s: (0, g, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.SemaphoreType.DMA((K,))],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, T, PATCH_R, PATCH_C),
+        out_shape=jax.ShapeDtypeStruct((T, n_pad, PATCH_R, PATCH_C),
                                        blocks.dtype),
         interpret=interpret,
     )(starts, blocks)
-    return out[:N]
+    return out[:, :N]

@@ -60,7 +60,9 @@ def test_patch_min3_matches_direct():
     got = tpatch.sample_nearest(patches, origin, grid.horizontal_scale,
                                 jnp.asarray(x), jnp.asarray(y))
     want = tgrid.height_min3(grid, jnp.asarray(x), jnp.asarray(y))
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    # bf16 sampling: heights rounded to ~0.4% relative
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-2, rtol=5e-3)
 
 
 def test_patch_clamps_at_border():
@@ -88,6 +90,5 @@ def test_pallas_kernel_interpret_parity():
     base = rng.uniform(-3.0, 3.0, (6, 2)).astype(np.float32)
     starts, origin = tpatch.patch_starts(src, jnp.asarray(base))
     want = tpatch.extract(src, starts)                 # cpu fallback
-    got = jnp.swapaxes(
-        extract_patches_pallas(src.blocks, starts, interpret=True), 0, 1)
+    got = extract_patches_pallas(src.blocks, starts, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -58,6 +58,11 @@ class TerrainCfg:
     terrain_proportions: Tuple[float, ...] = (0.0, 0.0, 0.2, 0.2, 0.2, 0.4)
     slope_treshold: float = 0.75
     measure_foot_clearance: bool = True
+    # selected-terrain mode (terrain.py:64-77): fill every tile with one
+    # named generator; kwargs as a (key, value) tuple for hashability
+    selected: bool = False
+    selected_terrain_type: str = "pyramid_stairs_terrain"
+    selected_terrain_kwargs: Tuple[Tuple[str, float], ...] = ()
 
     @property
     def measured_x_dim(self) -> int:

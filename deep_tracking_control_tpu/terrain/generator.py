@@ -239,6 +239,18 @@ def make_tile(cfg, rng, choice: float, difficulty: float) -> SubTerrain:
     return t
 
 
+_GENERATORS = {
+    "pyramid_sloped_terrain": pyramid_sloped_terrain,
+    "random_uniform_terrain": random_uniform_terrain,
+    "pyramid_stairs_terrain": pyramid_stairs_terrain,
+    "discrete_obstacles_terrain": discrete_obstacles_terrain,
+    "stepping_stones_terrain": stepping_stones_terrain,
+    "gap_terrain": gap_terrain,
+    "pit_terrain": pit_terrain,
+    "stones_everywhere_terrain": stones_everywhere_terrain,
+}
+
+
 class Terrain:
     """World heightfield: rows = difficulty levels, cols = terrain types.
 
@@ -278,15 +290,26 @@ class Terrain:
                                          dtype=np.int16)
         self.env_origins = np.zeros((cfg.num_rows, cfg.num_cols, 3))
 
+        selected_fn = None
+        if getattr(cfg, "selected", False):
+            selected_fn = _GENERATORS[cfg.selected_terrain_type]
+            selected_kwargs = dict(cfg.selected_terrain_kwargs)
         for j in range(cfg.num_cols):
             for i in range(cfg.num_rows):
-                if cfg.curriculum:
+                if selected_fn is not None:       # selected mode (:64-77)
+                    tile = SubTerrain(
+                        width=lpx, length=wpx,
+                        vertical_scale=cfg.vertical_scale,
+                        horizontal_scale=cfg.horizontal_scale)
+                    selected_fn(tile, rng, **selected_kwargs)
+                elif cfg.curriculum:
                     difficulty = i / cfg.num_rows
                     choice = j / cfg.num_cols + 0.001
+                    tile = make_tile(cfg, rng, choice, difficulty)
                 else:
                     choice = rng.uniform(0, 1)
                     difficulty = rng.choice([0.25, 0.5, 0.75, 0.9])
-                tile = make_tile(cfg, rng, choice, difficulty)
+                    tile = make_tile(cfg, rng, choice, difficulty)
                 self._add_tile(tile, i, j, lpx, wpx)
 
     def _add_tile(self, tile: SubTerrain, i, j, lpx, wpx):

@@ -140,3 +140,22 @@ def test_native_backend_structural_parity():
             a = tn.height_field_raw[b + i*lpx:b+(i+1)*lpx, b + j*lpx:b+(j+1)*lpx]
             p = tp.height_field_raw[b + i*lpx:b+(i+1)*lpx, b + j*lpx:b+(j+1)*lpx]
             assert abs(int(a.max()) - int(p.max())) <= max(40, int(0.6*abs(int(p.max())))+40)
+
+
+def test_selected_terrain_mode():
+    """selected mode (terrain.py:64-77): one named generator fills all tiles."""
+    cfg = TerrainCfg(num_rows=2, num_cols=2, border_size=2.0, curriculum=False,
+                     selected=True,
+                     selected_terrain_type="pyramid_stairs_terrain",
+                     selected_terrain_kwargs=(("step_width", 0.31),
+                                              ("step_height", 0.1),
+                                              ("platform_size", 3.0)))
+    t = Terrain(cfg, seed=0, backend="python")
+    b = t.border
+    lpx = int(cfg.terrain_length / cfg.horizontal_scale)
+    step = int(0.1 / 0.005)
+    for i in range(2):
+        for j in range(2):
+            tile = t.height_field_raw[b+i*lpx:b+(i+1)*lpx, b+j*lpx:b+(j+1)*lpx]
+            levels = np.unique(tile)
+            assert len(levels) > 3 and np.all(np.diff(levels) == step)

@@ -154,3 +154,23 @@ def test_vec_env_adapter():
     assert obs["obs_history"].shape == (2, 265)
     assert rew.shape == (2,) and done.shape == (2,)
     assert "time_outs" in info and "episode" in info
+
+
+def test_plane_task_smoke():
+    """lite3_fast: plane terrain path (no heightfield, zero height scan)."""
+    task, _ = get_cfgs("lite3_fast")
+    task = dataclasses.replace(
+        task, env=dataclasses.replace(task.env, num_envs=2),
+        noise=dataclasses.replace(task.noise, add_noise=False))
+    env = LeggedEnv(task)
+    assert env.grid.is_plane and env.patch_src is None
+    params, state = jax.jit(env.init)(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    for i in range(3):
+        state, out = step(params, state, jnp.zeros((2, 12)),
+                          jax.random.PRNGKey(i))
+    # plane: measured heights (and therefore the height obs block) are zero
+    np.testing.assert_allclose(np.asarray(state["measured_heights"]), 0.0)
+    assert np.all(np.isfinite(np.asarray(out["obs"])))
+    # +-4 m/s command range (lite3_fast_config.py:41)
+    assert float(state["command_lin_vel_x"][1]) == 4.0

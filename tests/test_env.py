@@ -174,3 +174,63 @@ def test_plane_task_smoke():
     assert np.all(np.isfinite(np.asarray(out["obs"])))
     # +-4 m/s command range (lite3_fast_config.py:41)
     assert float(state["command_lin_vel_x"][1]) == 4.0
+
+
+def test_command_curriculum_widens():
+    """update_command_curriculum parity (legged_robot.py:716-726): when the
+    tracking reward of resetting envs exceeds 80% of its ceiling at the
+    episode-boundary gate, the lin_vel_x range widens by 0.5 up to
+    max_curriculum."""
+    task, _ = get_cfgs("lite3_rough")   # has tracking_lin_vel active
+    task = dataclasses.replace(
+        task,
+        env=dataclasses.replace(task.env, num_envs=4),
+        commands=dataclasses.replace(task.commands, curriculum=True,
+                                     max_curriculum=2.0),
+        terrain=dataclasses.replace(task.terrain, num_rows=2, num_cols=2,
+                                    border_size=4.0, max_init_terrain_level=1))
+    env = LeggedEnv(task)
+    params, state = jax.jit(env.init)(jax.random.PRNGKey(0))
+    r0 = np.asarray(state["command_lin_vel_x"]).copy()
+    # craft a state at the curriculum gate with saturated tracking sums
+    scale = env.reward_scales_dt["tracking_lin_vel"]
+    sums = dict(state["episode_sums"])
+    sums["tracking_lin_vel"] = jnp.full((4,), 0.95 * scale
+                                        * env.max_episode_length)
+    gated = {**state,
+             "episode_sums": sums,
+             "common_step": jnp.asarray(env.max_episode_length - 1,
+                                        dtype=jnp.int32),
+             "episode_length": jnp.full((4,), env.max_episode_length,
+                                        dtype=jnp.int32)}  # force timeout
+    new_state, out = jax.jit(env.step)(params, gated, jnp.zeros((4, 12)),
+                                       jax.random.PRNGKey(1))
+    assert np.all(np.asarray(out["done"]))
+    r1 = np.asarray(new_state["command_lin_vel_x"])
+    np.testing.assert_allclose(r1, [r0[0] - 0.5, r0[1] + 0.5], atol=1e-6)
+
+
+def test_debug_viz_renders(tmp_path, small_env):
+    """Foothold debug frame renders to PNG (viewer _draw_debug_vis analog)."""
+    import dataclasses as dc
+    from deep_tracking_control_tpu.utils.debug_viz import draw_foothold_debug
+    env, params, state, step, out = small_env
+    task = dc.replace(env.cfg, env=dc.replace(env.cfg.env, num_envs=2,
+                                              debug_viz=True))
+    env2 = LeggedEnv(task)
+    p2, s2 = jax.jit(env2.init)(jax.random.PRNGKey(0))
+    s2, o2 = jax.jit(env2.step)(p2, s2, jnp.zeros((2, 12)),
+                                jax.random.PRNGKey(1))
+    assert "debug" in o2
+    d = o2["debug"]
+    path = draw_foothold_debug(
+        str(tmp_path / "dbg.png"), np.asarray(env2.grid.height),
+        env2.grid.horizontal_scale, env2.grid.border_size,
+        np.asarray(s2["phys"]["pos"][:, 0]),
+        np.asarray(d["heights_world"][0]),
+        np.asarray(d["foothold_score"][0]),
+        np.asarray(d["pred_footholds"][0]),
+        np.asarray(s2["optimal_footholds_world"][0]),
+        np.asarray(d["foot_positions"][0]))
+    import os as _os
+    assert _os.path.getsize(path) > 5000

@@ -99,7 +99,12 @@ class PPO:
                     mu=mean, sigma=std), carry_a, carry_c
 
     def _replay(self, params, obs_seq, dones, init_a, init_c):
-        """Replay the RNN over (T, M, D) with carry resets at dones."""
+        """Replay the RNN over (T, M, D) with carry resets at dones.
+
+        dones[t] is the done flag RETURNED by env.step at step t, so the
+        carry is zeroed after consuming obs[t] — exactly mirroring the
+        collection path (actor_critic.reset(dones) in process_env_step,
+        ppo.py:157,170)."""
         def step(carry, inp):
             ca, cc = carry
             obs, done = inp
@@ -166,13 +171,16 @@ class PPO:
             params, opt_state, lr = carry
             env_idx, k = xs
             # sequences are (T, N, ...); the rollout-start carries are (N, H)
-            mb = {k_: jnp.take(v, env_idx, axis=0 if k_.startswith("init_carry")
-                               else 1)
+            # (tree-mapped: LSTM carries are (c, h) tuples)
+            mb = {k_: jax.tree.map(
+                      lambda x: jnp.take(
+                          x, env_idx,
+                          axis=0 if k_.startswith("init_carry") else 1), v)
                   for k_, v in batch.items()}
 
             def pol_loss_fn(p):
                 mean, std, value = self._replay(
-                    p, mb["obs"], mb["dones_prev"],
+                    p, mb["obs"], mb["dones"],
                     mb["init_carry_a"], mb["init_carry_c"])
                 log_prob = normal_log_prob(mean, std, mb["actions"])
                 ratio = jnp.exp(log_prob - mb["old_log_prob"])

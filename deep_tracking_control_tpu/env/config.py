@@ -328,6 +328,10 @@ class RunnerCfg:
     load_run: str = "-1"
     checkpoint: int = -1
     seed: int = 1
+    # two-program mode measuring collection vs learning wall clock
+    # (Perf/collection time + Perf/learning_time, on_policy_runner.py:196-198);
+    # opt-in: it costs one extra host round-trip per iteration
+    perf_split: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -621,6 +621,10 @@ class LeggedEnv:
                      }
         metrics = self._reset_metrics(mid_state, reset_buf)
         new_state = self._apply_reset(mid_state, reset_buf, keys[3])
+        # terrain level of resetting envs AFTER the curriculum update
+        # (legged_robot.py:213-214 then :258-259); host divides by n_done
+        metrics["terrain_level"] = jnp.sum(jnp.where(
+            reset_buf, new_state["terrain_levels"].astype(jnp.float32), 0.0))
 
         # ---- observations (dtc.py:254-288) ----------------------------------
         new_state, obs_out = self._compute_observations(
@@ -683,7 +687,6 @@ class LeggedEnv:
         for n in self.episode_sum_names:
             s = state["episode_sums"][n] / self.cfg.env.episode_length_s
             out["rew_" + n] = jnp.sum(jnp.where(done, s, 0.0))
-        out["terrain_level"] = jnp.mean(state["terrain_levels"].astype(jnp.float32))
         return out
 
     # ------------------------------------------------------------------

@@ -21,7 +21,8 @@ import numpy as np
 from ..agent.ppo import PPO, make_optimizers
 from ..env.config import TrainCfg
 from ..env.legged_env import LeggedEnv
-from ..models.networks import ActorCritic, ActorCriticDecoder
+from ..models.networks import (ActorCritic, ActorCriticDecoder,
+                               ActorCriticRecurrent, Memory)
 from ..parallel import mesh as pmesh
 
 
@@ -75,6 +76,23 @@ class OnPolicyRunner:
                 init_noise_std=pol.init_noise_std)
             dummy = (jnp.zeros((1, env.num_obs)), jnp.zeros((1, env.num_obs)))
             policy_kind = "mlp"
+        elif pol.policy_class_name == "ActorCriticRecurrent":
+            # RNN policy (actor_critic_recurrent.py:40): carries are
+            # collected during the rollout scan and the update replays the
+            # RNN from the rollout-start carry (PPO.update_recurrent)
+            self.net = ActorCriticRecurrent(
+                num_obs=env.num_obs, num_critic_obs=env.num_obs,
+                num_actions=env.num_actions,
+                rnn_hidden_size=pol.rnn_hidden_size,
+                rnn_type=pol.rnn_type,
+                actor_hidden=tuple(pol.actor_hidden_dims),
+                critic_hidden=tuple(pol.critic_hidden_dims),
+                activation=pol.activation,
+                init_noise_std=pol.init_noise_std)
+            c1 = self.init_carry(1)
+            dummy = (jnp.zeros((1, env.num_obs)), jnp.zeros((1, env.num_obs)),
+                     c1, c1)
+            policy_kind = "recurrent"
         else:
             raise ValueError(
                 f"unsupported policy_class_name {pol.policy_class_name!r}")
@@ -97,16 +115,28 @@ class OnPolicyRunner:
         self._state_shardings = shardings
         self._params_shardings = p_shard
         self._repl = pmesh.replicated(self.mesh)
-        self._train_iter = self._build_train_iter()
-
-        # episode stats (on_policy_runner.py:103-106)
+        # episode stats (on_policy_runner.py:103-106); the recurrent policy's
+        # hidden-state carries live here too (per-env, env-sharded)
         self.rewbuffer = deque(maxlen=100)
         self.lenbuffer = deque(maxlen=100)
+        log_state = dict(cur_reward_sum=jnp.zeros(env.num_envs),
+                         cur_episode_length=jnp.zeros(env.num_envs))
+        if policy_kind == "recurrent":
+            log_state["carry_a"] = self.init_carry(env.num_envs)
+            log_state["carry_c"] = self.init_carry(env.num_envs)
         self._log_state = pmesh.apply_shardings(
-            dict(cur_reward_sum=jnp.zeros(env.num_envs),
-                 cur_episode_length=jnp.zeros(env.num_envs)),
-            dict(cur_reward_sum=pmesh.env_leading(self.mesh),
-                 cur_episode_length=pmesh.env_leading(self.mesh)))
+            log_state,
+            jax.tree.map(lambda _: pmesh.env_leading(self.mesh), log_state))
+
+        self._train_iter = self._build_train_iter()
+
+    # ------------------------------------------------------------------
+    def init_carry(self, num_envs: int):
+        """Fresh RNN carry for the recurrent policy: zeros (N, H) for GRU,
+        ((N, H), (N, H)) for LSTM — the flax cell defaults."""
+        pol = self.cfg.policy
+        z = jnp.zeros((num_envs, pol.rnn_hidden_size))
+        return z if pol.rnn_type == "gru" else (z, z)
 
     # ------------------------------------------------------------------
     def _build_train_iter(self):
@@ -116,9 +146,14 @@ class OnPolicyRunner:
         T = self.cfg.runner.num_steps_per_env
         gamma = self.cfg.algorithm.gamma
 
-        def train_iter(params, opt_state, vae_opt_state, lr,
-                       env_params, env_state, log_state, key):
-            k_roll, k_upd, k_last = jax.random.split(key, 3)
+        recurrent = ppo.policy_kind == "recurrent"
+
+        def collect(params, env_params, env_state, log_state, key):
+            """Rollout scan + GAE: the 'collection' phase
+            (on_policy_runner.py:112-146)."""
+            k_roll = key
+            init_carry_a = log_state.get("carry_a")
+            init_carry_c = log_state.get("carry_c")
 
             def rollout_body(carry, k):
                 env_state, log_state = carry
@@ -127,7 +162,12 @@ class OnPolicyRunner:
                 hist = env_state["obs_history"]
                 base_vel = env_state["base_vel"]
                 k_act, k_env = jax.random.split(k)
-                a = ppo.act(params, obs, hist, priv, base_vel, k_act)
+                if recurrent:
+                    a, ca, cc = ppo.act_recurrent(
+                        params, obs, log_state["carry_a"],
+                        log_state["carry_c"], k_act)
+                else:
+                    a = ppo.act(params, obs, hist, priv, base_vel, k_act)
                 env_state, out = env.step(env_params, env_state,
                                           a["actions"], k_env)
                 # timeout bootstrap (ppo.py:160-163)
@@ -145,61 +185,144 @@ class OnPolicyRunner:
                 ep = dict(ep_rew_sum=jnp.sum(crs * done_f),
                           ep_len_sum=jnp.sum(cel * done_f),
                           ep_count=jnp.sum(done_f))
-                log_state = dict(cur_reward_sum=crs * (1.0 - done_f),
-                                 cur_episode_length=cel * (1.0 - done_f))
+                log_state = {**log_state,
+                             "cur_reward_sum": crs * (1.0 - done_f),
+                             "cur_episode_length": cel * (1.0 - done_f)}
+                if recurrent:
+                    # carry reset at dones (actor_critic.reset, ppo.py:170)
+                    reset = out["done"][:, None]
+                    log_state["carry_a"] = jax.tree.map(
+                        lambda c: jnp.where(reset, 0.0, c), ca)
+                    log_state["carry_c"] = jax.tree.map(
+                        lambda c: jnp.where(reset, 0.0, c), cc)
                 return (env_state, log_state), (trans, out["metrics"], ep)
 
             (env_state, log_state), (batch, metrics, ep) = jax.lax.scan(
                 rollout_body, (env_state, log_state),
                 jax.random.split(k_roll, T))
 
-            last_values = ppo._value(params, env_state["obs"],
-                                     env_state["privileged_obs"],
-                                     env_state["base_vel"])
+            if recurrent:
+                _, _, last_values, _, _ = net.apply(
+                    params, env_state["obs"], env_state["obs"],
+                    log_state["carry_a"], log_state["carry_c"])
+            else:
+                last_values = ppo._value(params, env_state["obs"],
+                                         env_state["privileged_obs"],
+                                         env_state["base_vel"])
             returns, advantages = ppo.compute_gae(
                 batch["rewards"], batch["dones"], batch["values"], last_values)
             batch = {**batch, "returns": returns, "advantages": advantages}
             batch.pop("rewards")
-            batch.pop("dones")
 
-            params, opt_state, vae_opt_state, lr, stats = ppo.update(
-                params, opt_state, vae_opt_state, lr, batch, k_upd)
+            if recurrent:
+                batch = dict(obs=batch["obs"], actions=batch["actions"],
+                             values=batch["values"],
+                             old_log_prob=batch["old_log_prob"],
+                             old_mu=batch["old_mu"],
+                             old_sigma=batch["old_sigma"],
+                             returns=batch["returns"],
+                             advantages=batch["advantages"],
+                             dones=batch["dones"],
+                             init_carry_a=init_carry_a,
+                             init_carry_c=init_carry_c)
+            else:
+                batch.pop("dones")
 
             metrics_sum = jax.tree.map(lambda x: jnp.sum(x, axis=0), metrics)
             ep_sum = jax.tree.map(lambda x: jnp.sum(x, axis=0), ep)
-            stats = {**stats, **{"metric_" + k: v for k, v in metrics_sum.items()},
-                     **ep_sum}
+            aux = {**{"metric_" + k: v for k, v in metrics_sum.items()},
+                   **ep_sum}
+            return env_state, log_state, batch, aux
+
+        def do_update(params, opt_state, vae_opt_state, lr, batch, key):
+            """The 'learning' phase (on_policy_runner.py:148-151)."""
+            if recurrent:
+                params, opt_state, lr, stats = ppo.update_recurrent(
+                    params, opt_state, lr, batch, key)
+            else:
+                params, opt_state, vae_opt_state, lr, stats = ppo.update(
+                    params, opt_state, vae_opt_state, lr, batch, key)
+            return params, opt_state, vae_opt_state, lr, stats
+
+        def train_iter(params, opt_state, vae_opt_state, lr,
+                       env_params, env_state, log_state, key):
+            k_roll, k_upd = jax.random.split(key)
+            env_state, log_state, batch, aux = collect(
+                params, env_params, env_state, log_state, k_roll)
+            params, opt_state, vae_opt_state, lr, stats = do_update(
+                params, opt_state, vae_opt_state, lr, batch, k_upd)
+            stats = {**stats, **aux}
             return (params, opt_state, vae_opt_state, lr, env_state,
                     log_state, stats)
 
         repl = self._repl
+        log_shardings = jax.tree.map(lambda _: pmesh.env_leading(self.mesh),
+                                     self._log_state)
+        if self.cfg.runner.perf_split:
+            # two-program mode: real collection-vs-learn wall-clock split
+            # (Perf/collection time + Perf/learning_time parity,
+            # on_policy_runner.py:143-155,196-198).  Costs one extra host
+            # round-trip per iteration, so it is opt-in.
+            self._collect_fn = jax.jit(
+                collect,
+                in_shardings=(repl, self._params_shardings,
+                              self._state_shardings, log_shardings, repl),
+                donate_argnums=(2,))
+            self._update_fn = jax.jit(do_update)
         return jax.jit(
             train_iter,
             in_shardings=(repl, repl, repl, repl, self._params_shardings,
-                          self._state_shardings,
-                          dict(cur_reward_sum=pmesh.env_leading(self.mesh),
-                               cur_episode_length=pmesh.env_leading(self.mesh)),
-                          repl),
+                          self._state_shardings, log_shardings, repl),
             donate_argnums=(5,))
 
     # ------------------------------------------------------------------
-    def learn(self, num_learning_iterations: int, log_every: int = 10):
+    def learn(self, num_learning_iterations: int, log_every: int = 10,
+              init_at_random_ep_len: bool = False):
         """Training loop (OnPolicyRunner.learn, on_policy_runner.py:86-163)."""
         save_interval = self.cfg.runner.save_interval
         T = self.cfg.runner.num_steps_per_env
         N = self.env.num_envs
         start_it = self.current_learning_iteration
+        if init_at_random_ep_len and start_it == 0:
+            # randomize initial episode lengths so env resets desynchronize
+            # from iteration 0 (on_policy_runner.py:105-109)
+            self.key, k = jax.random.split(self.key)
+            ep_len = jax.random.randint(
+                k, (N,), 0, self.env.max_episode_length, dtype=jnp.int32)
+            self.env_state = {
+                **self.env_state,
+                "episode_length": jax.device_put(
+                    ep_len, pmesh.env_leading(self.mesh))}
         tot_iter = start_it + num_learning_iterations
         for it in range(start_it, tot_iter):
             t0 = time.time()
             self.key, k = jax.random.split(self.key)
-            (self.params, self.opt_state, self.vae_opt_state,
-             self.learning_rate, self.env_state, self._log_state,
-             stats) = self._train_iter(
-                self.params, self.opt_state, self.vae_opt_state,
-                self.learning_rate, self.env_params, self.env_state,
-                self._log_state, k)
-            stats = jax.device_get(stats)
+            perf = None
+            if self.cfg.runner.perf_split:
+                # two-program mode: measure collection vs learning
+                # (on_policy_runner.py:113,142-155)
+                k_roll, k_upd = jax.random.split(k)
+                (self.env_state, self._log_state, batch, aux) = \
+                    self._collect_fn(self.params, self.env_params,
+                                     self.env_state, self._log_state, k_roll)
+                aux = jax.device_get(aux)
+                t_collect = time.time() - t0
+                t1 = time.time()
+                (self.params, self.opt_state, self.vae_opt_state,
+                 self.learning_rate, stats) = self._update_fn(
+                    self.params, self.opt_state, self.vae_opt_state,
+                    self.learning_rate, batch, k_upd)
+                stats = {**jax.device_get(stats), **aux}
+                t_learn = time.time() - t1
+                perf = (t_collect, t_learn)
+            else:
+                (self.params, self.opt_state, self.vae_opt_state,
+                 self.learning_rate, self.env_state, self._log_state,
+                 stats) = self._train_iter(
+                    self.params, self.opt_state, self.vae_opt_state,
+                    self.learning_rate, self.env_params, self.env_state,
+                    self._log_state, k)
+                stats = jax.device_get(stats)
             dt_iter = time.time() - t0
             self.tot_timesteps += T * N
             self.tot_time += dt_iter
@@ -209,7 +332,7 @@ class OnPolicyRunner:
                 self.lenbuffer.append(
                     float(stats["ep_len_sum"] / stats["ep_count"]))
             if self.log_dir is not None and (it % log_every == 0):
-                self._log(it, stats, dt_iter)
+                self._log(it, stats, dt_iter, perf=perf)
             if self.log_dir is not None and it % save_interval == 0:
                 self.save(os.path.join(self.log_dir, f"model_{it}"))
             self.current_learning_iteration = it + 1
@@ -218,7 +341,7 @@ class OnPolicyRunner:
                 self.log_dir, f"model_{self.current_learning_iteration}"))
 
     # ------------------------------------------------------------------
-    def _log(self, it, stats, dt_iter):
+    def _log(self, it, stats, dt_iter, perf=None):
         """TensorBoard scalars matching on_policy_runner.py:187-203."""
         fps = int(self.cfg.runner.num_steps_per_env * self.env.num_envs
                   / max(dt_iter, 1e-9))
@@ -236,13 +359,19 @@ class OnPolicyRunner:
             "Perf/total_fps": fps,
             "Perf/iter_time": dt_iter,
         }
+        if perf is not None:
+            # exact reference scalar names (on_policy_runner.py:196-197)
+            scalars["Perf/collection time"] = perf[0]
+            scalars["Perf/learning_time"] = perf[1]
         n_done = max(float(stats.get("metric_n_done", 0.0)), 1.0)
         for k, v in stats.items():
             if k.startswith("metric_rew_"):
                 scalars["Episode/" + k[7:]] = float(v) / n_done
         if "metric_terrain_level" in stats:
+            # mean post-curriculum level of the envs that reset this
+            # iteration (legged_robot.py:258-259)
             scalars["Episode/terrain_level"] = float(
-                stats["metric_terrain_level"]) / self.cfg.runner.num_steps_per_env
+                stats["metric_terrain_level"]) / n_done
         if len(self.rewbuffer) > 0:
             scalars["Train/mean_reward"] = float(np.mean(self.rewbuffer))
             scalars["Train/mean_episode_length"] = float(np.mean(self.lenbuffer))
@@ -331,6 +460,17 @@ class OnPolicyRunner:
             def policy(obs, obs_history, privileged_obs):
                 mean, _, _ = net.apply(params, obs, obs)
                 return mean
+            return policy
+
+        if self.ppo.policy_kind == "recurrent":
+            # carry-threading policy (act_inference with hidden state,
+            # actor_critic_recurrent.py:81-86): (obs, (ca, cc)) ->
+            # (actions, (ca, cc)); get a fresh carry from init_carry(N)
+            @jax.jit
+            def policy(obs, carry):
+                ca, cc = carry
+                mean, _, _, ca, cc = net.apply(params, obs, obs, ca, cc)
+                return mean, (ca, cc)
             return policy
 
         @jax.jit

@@ -162,17 +162,34 @@ def stones_everywhere_terrain(t: SubTerrain, rng, stone_size, stone_distance,
     hmax = max(int(max_height / t.vertical_scale), 1)
     heights = np.arange(1, 2 * hmax + 1)
     t.height_field_raw[:, :] = int(depth / t.vertical_scale)
-    start_y = 0
-    while start_y < t.length:
-        stop_y = min(t.length, start_y + int(rng.choice(sizes)))
-        start_x = int(rng.integers(0, int(rng.choice(sizes))))
-        stop_x = max(0, start_x - int(rng.choice(dists)))
-        t.height_field_raw[0:stop_x, start_y:stop_y] = int(rng.choice(heights))
+    if t.length >= t.width:
+        # row-major fill (terrain.py:211-222); ties go here, like the
+        # reference's `length >= width` branch — all shipped configs use
+        # square 8x8 m tiles and always take this path
+        start_y = 0
+        while start_y < t.length:
+            stop_y = min(t.length, start_y + int(rng.choice(sizes)))
+            start_x = int(rng.integers(0, int(rng.choice(sizes))))
+            stop_x = max(0, start_x - int(rng.choice(dists)))
+            t.height_field_raw[0:stop_x, start_y:stop_y] = int(rng.choice(heights))
+            while start_x < t.width:
+                stop_x = min(t.width, start_x + int(rng.choice(sizes)))
+                t.height_field_raw[start_x:stop_x, start_y:stop_y] = int(rng.choice(heights))
+                start_x += int(rng.choice(sizes)) + int(rng.choice(dists))
+            start_y += int(rng.choice(sizes)) + int(rng.choice(dists))
+    else:
+        # column-major fill for wide tiles (terrain.py:224-238)
+        start_x = 0
         while start_x < t.width:
             stop_x = min(t.width, start_x + int(rng.choice(sizes)))
-            t.height_field_raw[start_x:stop_x, start_y:stop_y] = int(rng.choice(heights))
+            start_y = int(rng.integers(0, int(rng.choice(sizes))))
+            stop_y = max(0, start_y - int(rng.choice(dists)))
+            t.height_field_raw[start_x:stop_x, 0:stop_y] = int(rng.choice(heights))
+            while start_y < t.length:
+                stop_y = min(t.length, start_y + int(rng.choice(sizes)))
+                t.height_field_raw[start_x:stop_x, start_y:stop_y] = int(rng.choice(heights))
+                start_y += int(rng.choice(sizes)) + int(rng.choice(dists))
             start_x += int(rng.choice(sizes)) + int(rng.choice(dists))
-        start_y += int(rng.choice(sizes)) + int(rng.choice(dists))
     plat = int(platform_size / t.horizontal_scale)
     x1 = (t.width - plat) // 2
     x2 = (t.width + plat) // 2

@@ -25,22 +25,27 @@ from deep_tracking_control_tpu.utils.cli import get_args, update_cfg_from_args
 def play(args, steps: int = 1000):
     task_cfg, train_cfg = get_cfgs(args.task)
     task_cfg, train_cfg = update_cfg_from_args(task_cfg, train_cfg, args)
-    # eval overrides (play.py:18-36)
+    # eval overrides (play.py:17-36): <=100 envs, 3x3 grid, curriculum /
+    # noise / pushes / friction-rand off, random eval commands
+    # (play_commond=False), and the stepping-stone-heavy terrain mix
+    # [0,0,0,0,0,.2,0,0,.8] (20% stepping stones + 80% stones everywhere)
     task_cfg = dataclasses.replace(
         task_cfg,
         env=dataclasses.replace(task_cfg.env,
-                                num_envs=min(task_cfg.env.num_envs, 16),
-                                play_command=True),
-        terrain=dataclasses.replace(task_cfg.terrain, num_rows=2, num_cols=2,
-                                    curriculum=False, border_size=8.0),
+                                num_envs=min(task_cfg.env.num_envs, 100),
+                                play_command=False,
+                                # debug_viz forced on in eval
+                                # (play.py:41 env.debug_viz = True)
+                                debug_viz=True),
+        terrain=dataclasses.replace(
+            task_cfg.terrain, num_rows=3, num_cols=3,
+            curriculum=False, border_size=8.0,
+            terrain_proportions=(0.0, 0.0, 0.0, 0.0, 0.0, 0.2, 0.0, 0.0)),
         noise=dataclasses.replace(task_cfg.noise, add_noise=False),
         domain_rand=dataclasses.replace(task_cfg.domain_rand,
                                         push_robots=False,
                                         randomize_friction=False),
     )
-    if getattr(args, "debug_viz", False):
-        task_cfg = dataclasses.replace(
-            task_cfg, env=dataclasses.replace(task_cfg.env, debug_viz=True))
     env = LeggedEnv(task_cfg, terrain_seed=train_cfg.runner.seed)
     runner = OnPolicyRunner(env, train_cfg, log_dir=None)
     root = os.path.join(args.log_root, train_cfg.runner.experiment_name)

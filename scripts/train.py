@@ -43,7 +43,9 @@ def train(args):
                                   train_cfg.runner.checkpoint)
         print(f"Loading checkpoint {path}")
         runner.load(path)
-    runner.learn(train_cfg.runner.max_iterations)
+    # init_at_random_ep_len=True matches the reference training entry
+    # (on_policy_runner.py:105-109 via train.py)
+    runner.learn(train_cfg.runner.max_iterations, init_at_random_ep_len=True)
 
 
 if __name__ == "__main__":

@@ -158,13 +158,12 @@ def test_recurrent_update():
         a, ca, cc = ppo.act_recurrent(params, obs_seq[t], ca, cc, k)
         rows.append(a)
     stack = lambda k: jnp.stack([r[k] for r in rows])
-    dones_prev = jnp.concatenate([jnp.zeros((1, N), bool), dones[:-1]])
     batch = dict(obs=obs_seq, actions=stack("actions"),
                  values=stack("values"), old_log_prob=stack("log_prob"),
                  old_mu=stack("mu"), old_sigma=stack("sigma"),
                  returns=stack("values") + 0.1,
                  advantages=jnp.asarray(rng.normal(size=(T, N)), dtype=jnp.float32),
-                 dones_prev=dones_prev,
+                 dones=dones,
                  init_carry_a=jnp.broadcast_to(init_a, (T,) + init_a.shape)[0],
                  init_carry_c=init_c)
     # init carries are per-env (not per-step): shape (N,H)

@@ -159,3 +159,24 @@ def test_selected_terrain_mode():
             tile = t.height_field_raw[b+i*lpx:b+(i+1)*lpx, b+j*lpx:b+(j+1)*lpx]
             levels = np.unique(tile)
             assert len(levels) > 3 and np.all(np.diff(levels) == step)
+
+
+def test_stones_everywhere_wide_tile():
+    """width > length takes the column-major fill branch
+    (terrain.py:224-238); stones cover the tile, platform stays flat."""
+    from deep_tracking_control_tpu.terrain.generator import (
+        SubTerrain, stones_everywhere_terrain)
+    rng = np.random.default_rng(7)
+    t = SubTerrain(width=160, length=80, vertical_scale=0.005,
+                   horizontal_scale=0.05)
+    stones_everywhere_terrain(t, rng, stone_size=0.3, stone_distance=0.06,
+                              max_height=0.05, platform_size=1.0, depth=-2.0)
+    h = t.height_field_raw
+    depth_cells = int(-2.0 / 0.005)
+    # platform is flat zero
+    assert np.all(h[77:83, 37:43] == 0)
+    # holes exist at full depth and stones above them
+    assert (h == depth_cells).any()
+    assert (h > 0).any()
+    # stones reach the far-x half (the column loop walked the width)
+    assert (h[120:, :] > 0).any()

@@ -117,3 +117,37 @@ def test_policy_export_roundtrip(trained_runner, tmp_path):
     want = runner.get_inference_policy()(s["obs"], s["obs_history"],
                                          s["privileged_obs"])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_perf_split_and_random_ep_len():
+    """Two-program mode (Perf/collection time + Perf/learning_time parity,
+    on_policy_runner.py:143-155,196-198) trains identically-shaped state;
+    init_at_random_ep_len desynchronizes initial episode lengths
+    (on_policy_runner.py:105-109)."""
+    import jax.numpy as jnp
+    task, train = _tiny()
+    train = dataclasses.replace(
+        train, runner=dataclasses.replace(train.runner, perf_split=True))
+    env = LeggedEnv(task)
+    runner = OnPolicyRunner(env, train, log_dir=None)
+    assert hasattr(runner, "_collect_fn") and hasattr(runner, "_update_fn")
+    runner.learn(2, log_every=10**9, init_at_random_ep_len=True)
+    leaves = jax.tree.leaves(runner.params)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_terrain_level_metric_counts_reset_envs_only():
+    """Episode/terrain_level sums post-curriculum levels of RESET envs only
+    (legged_robot.py:213-214, 258-259)."""
+    task, train = _tiny()
+    env = LeggedEnv(task)
+    runner = OnPolicyRunner(env, train, log_dir=None)
+    params, state = runner.env_params, runner.env_state
+    key = jax.random.PRNGKey(0)
+    a = jnp.zeros((env.num_envs, env.num_actions))
+    new_state, out = jax.jit(env.step)(params, state, a, key)
+    m = out["metrics"]
+    done = np.asarray(out["done"])
+    lv = np.asarray(new_state["terrain_levels"], dtype=np.float32)
+    np.testing.assert_allclose(float(m["terrain_level"]),
+                               float(lv[done].sum()), rtol=1e-6)

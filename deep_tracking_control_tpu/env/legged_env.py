@@ -12,12 +12,14 @@ consume it.  The transposes at the boundary are fused away by XLA.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops import quat as qm
-from ..physics import engine, sim as psim
+from ..physics import engine, pallas_substep as psub, quadruped, sim as psim
 from ..robot import quadrupeds
 from ..robot.model import RobotModel, load_urdf
 from ..terrain import grid as tgrid
@@ -160,6 +162,17 @@ class LeggedEnv:
         self.num_obs_history = cfg.env.num_observation_history * self.num_obs
         self.max_episode_length = cfg.max_episode_length
 
+        # fused Pallas decimation kernel (physics/pallas_substep.py): used on
+        # TPU for quadruped models on heightfield terrain; the XLA path stays
+        # the reference implementation (CPU tests, exotic models, planes).
+        # DTC_PALLAS_PHYSICS=0 disables it for A/B runs.
+        self._pallas_physics = (
+            os.environ.get("DTC_PALLAS_PHYSICS", "1") != "0"
+            and self.patch_src is not None
+            and quadruped.quad_layout(self.model) is not None
+            and cfg.sim.substeps == 1)
+        self._pallas_interpret = False     # tests flip this to run on CPU
+
     # ------------------------------------------------------------------
     def _make_noise_scale_vec(self) -> np.ndarray:
         """Obs-noise scale vector (parity: legged_robot.py:729-752)."""
@@ -291,6 +304,18 @@ class LeggedEnv:
             foothold_obs=jnp.zeros((N, 8), dtype=jnp.float32),
             optimal_footholds_world=jnp.zeros((N, nf, 3), dtype=jnp.float32),
             torques=jnp.zeros((N, nq), dtype=jnp.float32),
+            # body contact-point positions from the previous step's last
+            # substep: the frozen-plane anchors of the Pallas physics path
+            body_pts=jnp.zeros(
+                (len(self.geom.dyn_idx) - len(self.feet_idx), 3, N),
+                dtype=jnp.float32),
+            # per-body-point frozen contact planes [h0, gx, gy, x0, y0],
+            # refreshed each step by the fused sampler; h0=-1e4 means "no
+            # contact" (reset-safe: a just-reset env's stale plane must not
+            # fire spurious body contacts)
+            planes=jnp.zeros(
+                (len(self.geom.dyn_idx) - len(self.feet_idx), 5, N),
+                dtype=jnp.float32).at[:, 0].set(-1e4),
             reset_buf=jnp.zeros((N,), dtype=bool),
             time_out_buf=jnp.zeros((N,), dtype=bool),
             rew_buf=jnp.zeros((N,), dtype=jnp.float32),
@@ -330,28 +355,95 @@ class LeggedEnv:
         default_q = jnp.asarray(self.default_dof_pos)
         torques = state["torques"]
 
+        use_kernel = self._pallas_physics and (
+            self._pallas_interpret or jax.default_backend() != "cpu")
+        # fused terrain-sampler kernel (terrain/pallas_sampler.py): currently
+        # opt-in — the per-env MXU one-hot matmuls measure ~4.0 ms/step vs
+        # ~3.6 ms for XLA's batched einsum over materialized patches (the
+        # batched-matmul engine pipelines tiny matmuls better than a serial
+        # in-kernel loop).  Kept for further iteration.
+        use_sampler = (use_kernel and cfg.terrain.measure_heights
+                       and os.environ.get("DTC_PALLAS_SAMPLER", "0") == "1")
+
         # per-env terrain patches, extracted once per policy step; all
         # height queries this step run as matmul-samples from the patches
-        # (terrain/patch.py; the robot drifts < the patch margin per step)
+        # (terrain/patch.py; the robot drifts < the patch margin per step).
+        # On the fused-kernel path the 3-table patches are NEVER
+        # materialized: physics gets a raw DMA window and the post-physics
+        # queries run in the fused sampler kernel (terrain/pallas_sampler).
+        terrain_fn = None
+        win = None
         if self.patch_src is not None:
             starts, patch_origin = tpatch.patch_starts(self.patch_src,
                                                        phys["pos"].T[:, :2])
-            patches = tpatch.extract(self.patch_src, starts)   # (3,N,Pr,Pc)
             hs = self.grid.horizontal_scale
+            if use_sampler:
+                patches = None
+                win = tpatch.extract_window(
+                    self.patch_src, starts, psub.WIN_R0, psub.WIN_R,
+                    interpret=self._pallas_interpret)   # (N, 40, 128)
+            else:
+                patches = tpatch.extract(self.patch_src, starts)  # (3,N,Pr,Pc)
 
-            def terrain_fn(x, y):
-                # physics layout (K, N) -> sampler layout (N, K) and back
-                h, dx, dy = tpatch.sample_bilinear_slope(
-                    patches[0], patch_origin, hs, x.T, y.T)
-                return h.T, dx.T, dy.T
+                def terrain_fn(x, y):
+                    # physics layout (K, N) -> sampler layout (N, K), back
+                    h, dx, dy, hmx = tpatch.sample_bilinear_slope(
+                        patches[0], patch_origin, hs, x.T, y.T)
+                    return h.T, dx.T, dy.T, hmx.T
         else:
-            patches, patch_origin = None, None
+            patches, patch_origin, starts = None, None, None
             terrain_fn = self._terrain_fn()
 
         actions_scaled = actions * cfg.control.action_scale
         # action-lag indices: one randint(1,5) shared across envs per sim
         # step (np RNG parity, legged_robot.py:608-614)
         choices = jax.random.randint(k_lag, (cfg.control.decimation,), 1, 5)
+
+        if use_kernel:
+            # --- fused Pallas decimation kernel (pallas_substep.py) -------
+            # PD goals per substep: the lag-buffer roll is q-independent,
+            # so the `decimation` targets precompute outside the kernel
+            goals = []
+            for choice in choices:
+                lag = jnp.concatenate([lag[:, 1:], actions_scaled[:, None, :]],
+                                      axis=1)
+                g = jnp.take(lag, choice, axis=1) + default_q[None, :]
+                g = jnp.clip(g, self.dof_pos_limits[0],
+                             self.dof_pos_limits[1])
+                goals.append(g.T)
+            goals = jnp.stack(goals)                        # (decim, nq, N)
+            kp_eff = (self.p_gains * state["kp_factors"]).T
+            kd_eff = (self.d_gains * state["kd_factors"]).T
+            if win is not None:
+                window = jnp.transpose(win, (1, 2, 0))      # (40, 128, N)
+            else:
+                window = jnp.transpose(
+                    patches[0][:, psub.WIN_R0:psub.WIN_R0 + psub.WIN_R],
+                    (1, 2, 0))
+            worigin = (patch_origin + hs * jnp.array(
+                [psub.WIN_R0, psub.WIN_C0], dtype=jnp.float32)).T
+            # body-point contact planes sampled at the END of the previous
+            # step (or reset-safe); refreshed post-physics below
+            planes = state["planes"]
+            phys, anchors, kinfo = psub.decimation_step(
+                m, self.geom, cfg.sim, cfg.control.decimation,
+                self.thigh_dyn_idx, params["inertias"], phys, anchors,
+                goals, kp_eff, kd_eff, state["motor_strengths"].T,
+                state["motor_offsets"].T, params["friction"],
+                params["restitution"], window, worigin, planes, hs,
+                interpret=self._pallas_interpret)
+            torques = kinfo.pop("torques").T
+            body_pts = kinfo.pop("body_pts")
+            info = kinfo
+            state = {**state, "phys": phys, "anchors": anchors,
+                     "lag_buffer": lag, "actions": actions,
+                     "torques": torques, "body_pts": body_pts}
+            info["patches"] = patches
+            info["patch_origin"] = patch_origin
+            info["starts"] = starts
+            info["use_kernel"] = True
+            info["use_sampler"] = use_sampler
+            return self._post_physics_step(params, state, info, k_post)
 
         def decim_body(carry, choice):                        # :102-111
             phys, anchors, lag = carry
@@ -435,8 +527,43 @@ class LeggedEnv:
             [state["cmd_buffer"][:, 1:], commands[:, None, :]], axis=1)
 
         # height scan (min-of-3 sampling, legged_robot.py:1279-1317) from
-        # the pooled-min3 patch (terrain/patch.py)
-        if cfg.terrain.measure_heights and not self.grid.is_plane:
+        # the pooled-min3 patch (terrain/patch.py); on the kernel path ALL
+        # of this step's terrain queries (scan + foot clearance + next-step
+        # body planes) run in ONE fused Pallas kernel
+        fused_h10 = None
+        planes_next = None
+        if info.get("use_sampler"):
+            from ..terrain import pallas_sampler as psmp
+            hp = jnp.asarray(self.height_points)
+            pts = qm.quat_apply_yaw(base_quat[:, None, :],
+                                    jnp.broadcast_to(hp, (N,) + hp.shape))
+            pts = pts + base_pos[:, None, :]
+            bp = state["body_pts"]                       # (Pb, 3, N)
+            nb = bp.shape[0]
+            nf = foot_positions.shape[1]
+            nh = self.num_height_points
+
+            def packq(c):
+                fill = base_pos[:, c:c + 1]
+                return jnp.concatenate([
+                    pts[..., c],
+                    jnp.broadcast_to(fill, (N, psmp.Q_MIN3 - nh)),
+                    foot_positions[..., c],
+                    jnp.broadcast_to(fill, (N, psmp.Q_MAX10 - nf)),
+                    bp[:, c].T,
+                    jnp.broadcast_to(fill, (N, psmp.Q_BIL - nb)),
+                ], axis=1)
+
+            h_all, gxs, gys = psmp.sample_all(
+                self.patch_src, info["starts"], info["patch_origin"],
+                packq(0), packq(1), interpret=self._pallas_interpret)
+            measured_heights = h_all[:, :nh]
+            fused_h10 = h_all[:, psmp.Q_MIN3:psmp.Q_MIN3 + nf]
+            off = psmp.Q_MIN3 + psmp.Q_MAX10
+            planes_next = jnp.stack(
+                [h_all[:, off:off + nb].T, gxs[:, :nb].T, gys[:, :nb].T,
+                 bp[:, 0], bp[:, 1]], axis=1)            # (Pb, 5, N)
+        elif cfg.terrain.measure_heights and not self.grid.is_plane:
             hp = jnp.asarray(self.height_points)
             pts = qm.quat_apply_yaw(base_quat[:, None, :],
                                     jnp.broadcast_to(hp, (N,) + hp.shape))
@@ -447,6 +574,16 @@ class LeggedEnv:
         else:
             # plane: zero heights (legged_robot.py:1292-1293)
             measured_heights = jnp.zeros((N, self.num_height_points))
+        if info.get("use_kernel") and planes_next is None:
+            # kernel physics without the fused sampler (e.g. heights off):
+            # refresh next-step body planes from the materialized patches
+            bp = state["body_pts"]
+            if info.get("patches") is not None:
+                h0, gx0, gy0, _ = tpatch.sample_bilinear_slope(
+                    info["patches"][0], info["patch_origin"],
+                    self.grid.horizontal_scale, bp[:, 0].T, bp[:, 1].T)
+                planes_next = jnp.stack(
+                    [h0.T, gx0.T, gy0.T, bp[:, 0], bp[:, 1]], axis=1)
 
         # random pushes (legged_robot.py:546-556, 673-678)
         push_force = state["push_force"]
@@ -468,12 +605,15 @@ class LeggedEnv:
                                    jnp.zeros((N, 3)))
 
         # foot clearance (max-of-10 sampling, legged_robot.py:1443-1472)
-        # from the pooled-max10 patch
+        # from the pooled-max10 patch (or the fused sampler result)
         if cfg.terrain.measure_foot_clearance and not self.grid.is_plane:
-            h10 = tpatch.sample_nearest(
-                info["patches"][2], info["patch_origin"],
-                self.grid.horizontal_scale,
-                foot_positions[..., 0], foot_positions[..., 1])
+            if fused_h10 is not None:
+                h10 = fused_h10
+            else:
+                h10 = tpatch.sample_nearest(
+                    info["patches"][2], info["patch_origin"],
+                    self.grid.horizontal_scale,
+                    foot_positions[..., 0], foot_positions[..., 1])
             measured_foot_clearance = foot_positions[..., 2] - h10
         else:
             measured_foot_clearance = foot_positions[..., 2]
@@ -619,6 +759,8 @@ class LeggedEnv:
                      "foothold_obs": foothold_obs,
                      "optimal_footholds_world": optimal_footholds_world,
                      }
+        if planes_next is not None:
+            mid_state["planes"] = planes_next
         metrics = self._reset_metrics(mid_state, reset_buf)
         new_state = self._apply_reset(mid_state, reset_buf, keys[3])
         # terrain level of resetting envs AFTER the curriculum update
@@ -789,12 +931,23 @@ class LeggedEnv:
         anchors = jnp.where(done[None, None, :],
                             jnp.stack([pos[0], pos[1]])[None, :, :],
                             state["anchors"])
+        # body plane anchors: snap to the reset base (refreshed next step);
+        # planes go contact-free (h0=-1e4) so a stale plane from the old
+        # location can't push on the respawned body for the first step
+        body_pts = jnp.where(done[None, None, :], pos[None],
+                             state["body_pts"])
+        safe_plane = jnp.stack([jnp.full((N,), -1e4), jnp.zeros(N),
+                                jnp.zeros(N), pos[0], pos[1]])     # (5, N)
+        planes = jnp.where(done[None, None, :], safe_plane[None],
+                           state["planes"])
 
         zeros_nq = jnp.zeros((N, m.nq))
         return {**state,
                 "command_lin_vel_x": cmd_range,
                 "phys": phys,
                 "anchors": anchors,
+                "body_pts": body_pts,
+                "planes": planes,
                 "terrain_levels": levels,
                 "env_origins": env_origins,
                 "commands": commands,

@@ -77,3 +77,57 @@ def extract_patches_pallas(blocks, starts, interpret: bool = False):
         interpret=interpret,
     )(starts, blocks)
     return out[:, :N]
+
+
+# --- physics contact window: raw-table rows [r0+16, r0+56) ------------------
+
+def _window_kernel(win_r0, win_r, starts_ref, blocks_ref, out_ref, sems):
+    g = pl.program_id(0)
+    K = ENVS_PER_PROGRAM
+
+    def dma(k):
+        i = g * K + k
+        r0 = starts_ref[0, i]
+        b = starts_ref[1, i]
+        return pltpu.make_async_copy(
+            blocks_ref.at[0, b, pl.ds(r0 + win_r0, win_r), :],
+            out_ref.at[k],
+            sems.at[k])
+
+    for k in range(K):
+        dma(k).start()
+    for k in range(K):
+        dma(k).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("win_r0", "win_r", "interpret"))
+def extract_windows_pallas(blocks, starts, win_r0: int = 16, win_r: int = 40,
+                           interpret: bool = False):
+    """Raw-table contact windows: blocks (T,B,R_pad,128), starts (N,2) ->
+    (N, win_r, PATCH_C) f32 rows [r0+win_r0, r0+win_r0+win_r) of table 0
+    (the physics mega-kernel's terrain input; see physics/pallas_substep)."""
+    N = starts.shape[0]
+    K = ENVS_PER_PROGRAM
+    pad = (-N) % K
+    if pad:
+        starts = jnp.concatenate(
+            [starts, jnp.zeros((pad, 2), dtype=starts.dtype)], axis=0)
+    n_pad = N + pad
+    starts = starts.T
+
+    out = pl.pallas_call(
+        functools.partial(_window_kernel, win_r0, win_r),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_pad // K,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (K, win_r, PATCH_C),
+                lambda g, s: (g, 0, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((K,))],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, win_r, PATCH_C), blocks.dtype),
+        interpret=interpret,
+    )(starts, blocks)
+    return out[:N]

@@ -48,8 +48,21 @@ class SimParams:
     bounce_threshold: float = 0.5        # [m/s] (legged_robot_config.py:222)
     limit_stiffness: float = 300.0       # N m/rad joint-limit spring
     limit_damping: float = 3.0           # N m s/rad beyond the limit
-    tangential_stiffness: float = 4000.0 # N/m stiction anchor spring
-    tangential_damping: float = 40.0     # N s/m tangential
+    tangential_stiffness: float = 12000.0  # N/m stiction anchor spring
+    tangential_damping: float = 80.0     # N s/m tangential
+    # slope cap for the CONTACT NORMAL on walkable cells (the samplers cap
+    # geometry at 3.0); 1.0 = 45deg, above every walkable generated slope.
+    normal_slope_cap: float = 1.0
+    # Cliff cells (bilinear pseudo-slope >= cliff_threshold: stepping-stone
+    # rims, stair risers) get sphere-on-corner semantics: a point within
+    # cliff_active_depth of the cell's TOP corner is supported AT the top
+    # with an UP normal (PhysX-on-trimesh rim behavior: a foot half-on a
+    # rim stands on the flat top, no lateral ejection); a point deeper down
+    # hits the face ramp with the full tilted normal (the riser "wall").
+    # The foot radius (0.022) ~ half a grid cell, so corner support within
+    # one cell of the edge is exactly the sphere-resting-on-corner contact.
+    cliff_threshold: float = 2.0
+    cliff_active_depth: float = 0.06
 
 
 class PhysicsState(dict):
@@ -256,7 +269,9 @@ def heightfield_contact(points_pos, points_vel, point_radius, point_eff_mass,
 
     points_pos/vel: (P,3,N); point_radius, point_eff_mass: (P,) static;
     anchors: (P,2,N) world-xy stiction anchors carried in the physics state.
-    terrain_fn(x, y) -> (height, dh/dx, dh/dy).
+    terrain_fn(x, y) -> (height, dh/dx, dh/dy, h_max) where h_max is the
+    MAX of the bilinear cell's four corner heights (the rim-top support
+    height; see SimParams.cliff_threshold).
     friction/restitution: (N,) per-env (DR buckets, legged_robot.py:438-460).
     Returns (forces (P,3,N) world, new_anchors (P,2,N)).
 
@@ -275,13 +290,29 @@ def heightfield_contact(points_pos, points_vel, point_radius, point_eff_mass,
       contact; what stepping-stone footholds need).
     """
     x, y, z = points_pos[:, 0], points_pos[:, 1], points_pos[:, 2]
-    h, dhdx, dhdy = terrain_fn(x, y)
-    # surface normal from slope
-    nx, ny, nz = -dhdx, -dhdy, jnp.ones_like(h)
+    h, dhdx, dhdy, h_max = terrain_fn(x, y)
+    zr = z - point_radius[:, None]
+
+    # cliff cells: sphere-on-corner support near the TOP (normal up, height
+    # = max corner), face ramp below (tilted normal = the riser wall)
+    cliff = (jnp.abs(dhdx) >= sim.cliff_threshold) | \
+            (jnp.abs(dhdy) >= sim.cliff_threshold)
+    near_top = (h_max - zr) < sim.cliff_active_depth
+    cliff_sup = cliff & near_top
+    h_eff = jnp.where(cliff_sup, h_max, h)
+
+    # normal: up on corner support; capped tilt on walkable cells; full
+    # (geometry-capped) tilt on cliff faces
+    ncap = sim.normal_slope_cap
+    gx = jnp.where(cliff_sup, 0.0,
+                   jnp.where(cliff, dhdx, jnp.clip(dhdx, -ncap, ncap)))
+    gy = jnp.where(cliff_sup, 0.0,
+                   jnp.where(cliff, dhdy, jnp.clip(dhdy, -ncap, ncap)))
+    nx, ny, nz = -gx, -gy, jnp.ones_like(h)
     inv_norm = jax.lax.rsqrt(nx * nx + ny * ny + 1.0)
     nx, ny, nz = nx * inv_norm, ny * inv_norm, nz * inv_norm
 
-    pen = h - (z - point_radius[:, None])                     # vertical penetration
+    pen = h_eff - zr                                          # vertical penetration
     vx, vy, vz = points_vel[:, 0], points_vel[:, 1], points_vel[:, 2]
     vn = vx * nx + vy * ny + vz * nz                          # >0 separating
 

@@ -104,13 +104,16 @@ class OnPolicyRunner:
         self.vae_opt_state = vae_opt.init(self.params)
         self.learning_rate = jnp.asarray(train_cfg.algorithm.learning_rate)
 
-        # env init, placed on the mesh
+        # env init, computed directly INTO the mesh sharding (works for
+        # process-spanning meshes too: no host-side global array is ever
+        # materialized — see parallel/distributed.py for the pod-slice path)
         with self.mesh:
-            self.env_params, self.env_state = env.init(k_env)
-        shardings = pmesh.tree_shardings(self.mesh, self.env_state, env.num_envs)
-        self.env_state = pmesh.apply_shardings(self.env_state, shardings)
-        p_shard = pmesh.tree_shardings(self.mesh, self.env_params, env.num_envs)
-        self.env_params = pmesh.apply_shardings(self.env_params, p_shard)
+            abs_params, abs_state = jax.eval_shape(env.init, k_env)
+        p_shard = pmesh.tree_shardings(self.mesh, abs_params, env.num_envs)
+        shardings = pmesh.tree_shardings(self.mesh, abs_state, env.num_envs)
+        init_fn = jax.jit(env.init, out_shardings=(p_shard, shardings))
+        with self.mesh:
+            self.env_params, self.env_state = init_fn(k_env)
 
         self._state_shardings = shardings
         self._params_shardings = p_shard
@@ -119,14 +122,18 @@ class OnPolicyRunner:
         # hidden-state carries live here too (per-env, env-sharded)
         self.rewbuffer = deque(maxlen=100)
         self.lenbuffer = deque(maxlen=100)
-        log_state = dict(cur_reward_sum=jnp.zeros(env.num_envs),
-                         cur_episode_length=jnp.zeros(env.num_envs))
-        if policy_kind == "recurrent":
-            log_state["carry_a"] = self.init_carry(env.num_envs)
-            log_state["carry_c"] = self.init_carry(env.num_envs)
-        self._log_state = pmesh.apply_shardings(
-            log_state,
-            jax.tree.map(lambda _: pmesh.env_leading(self.mesh), log_state))
+        def make_log_state():
+            log_state = dict(cur_reward_sum=jnp.zeros(env.num_envs),
+                             cur_episode_length=jnp.zeros(env.num_envs))
+            if policy_kind == "recurrent":
+                log_state["carry_a"] = self.init_carry(env.num_envs)
+                log_state["carry_c"] = self.init_carry(env.num_envs)
+            return log_state
+
+        ls_shard = jax.tree.map(lambda _: pmesh.env_leading(self.mesh),
+                                jax.eval_shape(make_log_state))
+        self._log_state = jax.jit(make_log_state,
+                                  out_shardings=ls_shard)()
 
         self._train_iter = self._build_train_iter()
 
@@ -287,12 +294,12 @@ class OnPolicyRunner:
             # randomize initial episode lengths so env resets desynchronize
             # from iteration 0 (on_policy_runner.py:105-109)
             self.key, k = jax.random.split(self.key)
-            ep_len = jax.random.randint(
-                k, (N,), 0, self.env.max_episode_length, dtype=jnp.int32)
-            self.env_state = {
-                **self.env_state,
-                "episode_length": jax.device_put(
-                    ep_len, pmesh.env_leading(self.mesh))}
+            ep_len = jax.jit(
+                lambda kk: jax.random.randint(
+                    kk, (N,), 0, self.env.max_episode_length,
+                    dtype=jnp.int32),
+                out_shardings=pmesh.env_leading(self.mesh))(k)
+            self.env_state = {**self.env_state, "episode_length": ep_len}
         tot_iter = start_it + num_learning_iterations
         for it in range(start_it, tot_iter):
             t0 = time.time()

@@ -61,13 +61,16 @@ def _gather(grid: TerrainGrid, ix, iy):
 
 
 def height_and_slope(grid: TerrainGrid, x, y):
-    """Bilinear height + slope at world xy.  Contact-solver query.
+    """Bilinear height + slope + max corner at world xy (contact query).
 
-    Returns (h, dh/dx, dh/dy) with shapes broadcast from x/y.
+    Returns (h, dh/dx, dh/dy, h_max).  h_max — the highest of the cell's 4
+    corners — is the rim-top support height for the sphere-on-corner cliff
+    contact (physics/engine.py SimParams.cliff_threshold).  Slopes are
+    geometry-capped at 3.0 (slope_treshold analog, terrain.py:40-43).
     """
     if grid.is_plane:
         z = jnp.zeros_like(x)
-        return z, z, z
+        return z, z, z, z
     fx, fy = _cell_coords(grid, x, y)
     ix = jnp.floor(fx).astype(jnp.int32)
     iy = jnp.floor(fy).astype(jnp.int32)
@@ -81,11 +84,9 @@ def height_and_slope(grid: TerrainGrid, x, y):
          + h01 * (1 - tx) * ty + h11 * tx * ty)
     dhdx = ((h10 - h00) * (1 - ty) + (h11 - h01) * ty) / grid.horizontal_scale
     dhdy = ((h01 - h00) * (1 - tx) + (h11 - h10) * tx) / grid.horizontal_scale
-    # steep cell faces (stair risers, stone rims) produce huge gradients;
-    # cap the slope used for the contact normal (slope_treshold analog,
-    # terrain.py:40-43)
+    h_max = jnp.maximum(jnp.maximum(h00, h10), jnp.maximum(h01, h11))
     cap = 3.0
-    return h, jnp.clip(dhdx, -cap, cap), jnp.clip(dhdy, -cap, cap)
+    return (h, jnp.clip(dhdx, -cap, cap), jnp.clip(dhdy, -cap, cap), h_max)
 
 
 def height_min3(grid: TerrainGrid, x, y):

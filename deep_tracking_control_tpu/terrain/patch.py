@@ -158,21 +158,38 @@ def _rowdot(w_r, patches):
                       preferred_element_type=jnp.float32)
 
 
+def _weights_corner(f, size):
+    """(N,K) fractional coords -> (e0, e1, t): one-hots at floor(f) and
+    floor(f)+1 plus the fractional part (clipped like _weights_bilinear)."""
+    i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, size - 2)
+    t = jnp.clip(f - i0.astype(f.dtype), 0.0, 1.0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, size), 2)
+    e0 = (i0[..., None] == iota).astype(jnp.float32)
+    e1 = ((i0 + 1)[..., None] == iota).astype(jnp.float32)
+    return e0, e1, t
+
+
 def sample_bilinear_slope(patches, origin, hs, x, y):
-    """Bilinear height + slope at world (x, y): (N,K) each ->
-    (h, dh/dx, dh/dy) (N,K).  Contact-solver query (replaces
-    grid.height_and_slope)."""
+    """Bilinear height + slope + max corner at world (x, y): (N,K) each ->
+    (h, dh/dx, dh/dy, h_max) (N,K).  Contact-solver query (replaces
+    grid.height_and_slope; identical corner algebra)."""
     fr = (x - origin[:, 0:1]) / hs
     fc = (y - origin[:, 1:2]) / hs
-    wr, dwr = _weights_bilinear(fr, PATCH_R)
-    wc, dwc = _weights_bilinear(fc, PATCH_C)
-    rows_w = _rowdot(wr, patches)
-    rows_d = _rowdot(dwr, patches)
-    h = jnp.einsum("nkq,nkq->nk", rows_w, wc)
-    dhdx = jnp.einsum("nkq,nkq->nk", rows_d, wc) / hs
-    dhdy = jnp.einsum("nkq,nkq->nk", rows_w, dwc) / hs
+    e0r, e1r, tx = _weights_corner(fr, PATCH_R)
+    e0c, e1c, ty = _weights_corner(fc, PATCH_C)
+    rows0 = _rowdot(e0r, patches)
+    rows1 = _rowdot(e1r, patches)
+    c00 = jnp.einsum("nkq,nkq->nk", rows0, e0c)
+    c10 = jnp.einsum("nkq,nkq->nk", rows1, e0c)
+    c01 = jnp.einsum("nkq,nkq->nk", rows0, e1c)
+    c11 = jnp.einsum("nkq,nkq->nk", rows1, e1c)
+    h = (c00 * (1 - tx) * (1 - ty) + c10 * tx * (1 - ty)
+         + c01 * (1 - tx) * ty + c11 * tx * ty)
+    dhdx = ((c10 - c00) * (1 - ty) + (c11 - c01) * ty) / hs
+    dhdy = ((c01 - c00) * (1 - tx) + (c11 - c10) * tx) / hs
+    h_max = jnp.maximum(jnp.maximum(c00, c10), jnp.maximum(c01, c11))
     cap = 3.0   # slope cap, same as grid.height_and_slope
-    return h, jnp.clip(dhdx, -cap, cap), jnp.clip(dhdy, -cap, cap)
+    return (h, jnp.clip(dhdx, -cap, cap), jnp.clip(dhdy, -cap, cap), h_max)
 
 
 def sample_nearest(patches, origin, hs, x, y):
@@ -188,6 +205,25 @@ def sample_nearest(patches, origin, hs, x, y):
     fc = (y - origin[:, 1:2]) / hs
     wr = _weights_nearest(fr, PATCH_R).astype(jnp.bfloat16)
     wc = _weights_nearest(fc, PATCH_C).astype(jnp.bfloat16)
-    rows = jnp.einsum("nkp,npq->nkq", wr, patches.astype(jnp.bfloat16),
+    # COLUMN stage first: contracting the 128-lane col dim uses the full
+    # MXU K width (the row dim is only 64) and the (N, K, 64) intermediate
+    # is half the size of the row-first (N, K, 128) one
+    cols = jnp.einsum("nkq,npq->nkp", wc, patches.astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
-    return jnp.einsum("nkq,nkq->nk", rows, wc.astype(jnp.float32))
+    return jnp.einsum("nkp,nkp->nk", cols, wr.astype(jnp.float32))
+
+
+def extract_window(src: PatchSource, starts, win_r0: int = 16,
+                   win_r: int = 40, interpret: bool = False):
+    """Physics contact window: raw-table rows [r0+win_r0, r0+win_r0+win_r)
+    -> (N, win_r, PATCH_C).  TPU: DMA kernel; CPU: dynamic-slice fallback."""
+    if jax.default_backend() != "cpu" or interpret:
+        from ..ops.pallas_patch import extract_windows_pallas
+        return extract_windows_pallas(src.blocks, starts, win_r0, win_r,
+                                      interpret=interpret)
+
+    def one(s):
+        return jax.lax.dynamic_slice(
+            src.blocks, (0, s[1], s[0] + win_r0, 0),
+            (1, 1, win_r, PATCH_C))[0, 0]
+    return jax.vmap(one)(starts)

@@ -84,9 +84,9 @@ def main():
             patches = tpatch.extract(env.patch_src, starts)
 
             def terrain_fn(x, y):
-                h, dx, dy = tpatch.sample_bilinear_slope(
+                h, dx, dy, hmx = tpatch.sample_bilinear_slope(
                     patches[0], origin, hs, x.T, y.T)
-                return h.T, dx.T, dy.T
+                return h.T, dx.T, dy.T, hmx.T
 
             for _i in range(4):
                 phys, anchors, info = psim.sim_step(

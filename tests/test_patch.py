@@ -37,9 +37,9 @@ def test_patch_bilinear_matches_grid_query():
     # query points within +-1 m of each base
     x = base[:, 0:1] + rng.uniform(-1, 1, (N, K)).astype(np.float32)
     y = base[:, 1:2] + rng.uniform(-1, 1, (N, K)).astype(np.float32)
-    h, dx, dy = tpatch.sample_bilinear_slope(
+    h, dx, dy, hmx = tpatch.sample_bilinear_slope(
         patches, origin, grid.horizontal_scale, jnp.asarray(x), jnp.asarray(y))
-    h2, dx2, dy2 = tgrid.height_and_slope(grid, jnp.asarray(x), jnp.asarray(y))
+    h2, dx2, dy2, hmx2 = tgrid.height_and_slope(grid, jnp.asarray(x), jnp.asarray(y))
     # fp32 coordinate rounding can flip the cell at exact boundaries
     np.testing.assert_allclose(np.asarray(h), np.asarray(h2), atol=1e-3)
     np.testing.assert_allclose(np.asarray(dx), np.asarray(dx2), atol=2e-2)
@@ -73,7 +73,7 @@ def test_patch_clamps_at_border():
     starts, origin = tpatch.patch_starts(src, base)
     assert np.all(np.asarray(starts) >= 0)
     patches = tpatch.extract(src, starts)[0]
-    h, _, _ = tpatch.sample_bilinear_slope(
+    h, _, _, _ = tpatch.sample_bilinear_slope(
         patches, origin, grid.horizontal_scale,
         base[:, 0:1], base[:, 1:2])
     assert np.all(np.isfinite(np.asarray(h)))

@@ -105,7 +105,7 @@ def test_bilinear_interpolation_exact_on_plane():
                              is_plane=False)
     xq = jnp.asarray([0.512, 1.003, 2.25])
     yq = jnp.asarray([0.771, 0.5, 1.11])
-    h, dx, dy = tgrid.height_and_slope(grid, xq, yq)
+    h, dx, dy, hmx = tgrid.height_and_slope(grid, xq, yq)
     np.testing.assert_allclose(np.asarray(h),
                                0.2 * np.asarray(xq) + 0.1 * np.asarray(yq),
                                atol=1e-5)

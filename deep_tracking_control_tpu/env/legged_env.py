@@ -532,12 +532,22 @@ class LeggedEnv:
         # body planes) run in ONE fused Pallas kernel
         fused_h10 = None
         planes_next = None
+
+        def scan_xy():
+            # world scan-point x/y as (N, H) component planes — the (N,H,3)
+            # vector layout would put the 3-dim in the 128-lane minor dim
+            hp = jnp.asarray(self.height_points)         # (H, 3) static
+            cy, sy = qm.yaw_rot2d(base_quat)
+            px = (cy[:, None] * hp[None, :, 0] - sy[:, None] * hp[None, :, 1]
+                  + base_pos[:, 0:1])
+            py = (sy[:, None] * hp[None, :, 0] + cy[:, None] * hp[None, :, 1]
+                  + base_pos[:, 1:2])
+            return px, py
+
         if info.get("use_sampler"):
             from ..terrain import pallas_sampler as psmp
-            hp = jnp.asarray(self.height_points)
-            pts = qm.quat_apply_yaw(base_quat[:, None, :],
-                                    jnp.broadcast_to(hp, (N,) + hp.shape))
-            pts = pts + base_pos[:, None, :]
+            sx, sy_ = scan_xy()
+            scan_c = (sx, sy_)
             bp = state["body_pts"]                       # (Pb, 3, N)
             nb = bp.shape[0]
             nf = foot_positions.shape[1]
@@ -546,7 +556,7 @@ class LeggedEnv:
             def packq(c):
                 fill = base_pos[:, c:c + 1]
                 return jnp.concatenate([
-                    pts[..., c],
+                    scan_c[c],
                     jnp.broadcast_to(fill, (N, psmp.Q_MIN3 - nh)),
                     foot_positions[..., c],
                     jnp.broadcast_to(fill, (N, psmp.Q_MAX10 - nf)),
@@ -564,13 +574,10 @@ class LeggedEnv:
                 [h_all[:, off:off + nb].T, gxs[:, :nb].T, gys[:, :nb].T,
                  bp[:, 0], bp[:, 1]], axis=1)            # (Pb, 5, N)
         elif cfg.terrain.measure_heights and not self.grid.is_plane:
-            hp = jnp.asarray(self.height_points)
-            pts = qm.quat_apply_yaw(base_quat[:, None, :],
-                                    jnp.broadcast_to(hp, (N,) + hp.shape))
-            pts = pts + base_pos[:, None, :]
+            px, py = scan_xy()
             measured_heights = tpatch.sample_nearest(
                 info["patches"][1], info["patch_origin"],
-                self.grid.horizontal_scale, pts[..., 0], pts[..., 1])
+                self.grid.horizontal_scale, px, py)
         else:
             # plane: zero heights (legged_robot.py:1292-1293)
             measured_heights = jnp.zeros((N, self.num_height_points))

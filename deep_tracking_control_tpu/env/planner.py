@@ -74,22 +74,28 @@ def plan_footholds(cfg, base_pos, base_quat, base_lin_vel, commands,
     score = score.reshape(N, H)
     score = jnp.where(score < 0.1, score, 10.0)        # (:148)
 
-    # --- world-frame scan points (:152-156)
-    hp = jnp.broadcast_to(jnp.asarray(height_points, dtype=base_pos.dtype),
-                          (N, H, 3))
-    heights_world = qm.quat_apply_yaw(base_quat[:, None, :], hp) \
-        + base_pos[:, None, :]
-    heights_world = heights_world.at[:, :, 2].set(measured_heights)
+    # --- world-frame scan points (:152-156) — component-plane (N, H) math
+    # (a (N, H, 3) layout would put the 3-vector in the 128-lane minor dim)
+    hp = jnp.asarray(height_points, dtype=base_pos.dtype)   # (H, 3) static
+    cy, sy = qm.yaw_rot2d(base_quat)                        # (N,)
+    hw_x = (cy[:, None] * hp[None, :, 0] - sy[:, None] * hp[None, :, 1]
+            + base_pos[:, 0:1])                             # (N, H)
+    hw_y = (sy[:, None] * hp[None, :, 0] + cy[:, None] * hp[None, :, 1]
+            + base_pos[:, 1:2])
+    heights_world = jnp.stack([hw_x, hw_y, measured_heights], axis=-1)
 
     # --- distance to nominal per leg (:158-170)
-    d = pred_footholds[:, None, :, :2] - heights_world[:, :, None, :2]
-    dis = jnp.linalg.norm(d, axis=-1)                  # (N,H,4)
+    # leg-leading (N,4,H) layout: H=693 rides the 128-lane minor dim (the
+    # reference's (N,H,4) layout would leave 124/128 lanes idle on TPU)
+    dx = pred_footholds[:, :, None, 0] - hw_x[:, None, :]
+    dy = pred_footholds[:, :, None, 1] - hw_y[:, None, :]
+    dis = jnp.sqrt(dx * dx + dy * dy)                  # (N,4,H)
     dis = jnp.where(dis < 0.16, dis, 10.0)
-    total = score[:, :, None] * 0.2 + dis * 0.8
-    total = jnp.where(exception.reshape(N, H)[:, :, None], 10.0, total)
+    total = score[:, None, :] * 0.2 + dis * 0.8
+    total = jnp.where(exception.reshape(N, H)[:, None, :], 10.0, total)
 
     # --- argmin per leg (ktop=1, :179-201)
-    opt_idx = jnp.argmin(total, axis=1)                # (N,4)
+    opt_idx = jnp.argmin(total, axis=2)                # (N,4)
     x_idx = jnp.remainder(opt_idx, ny)                 # (:184) column index
     y_idx = opt_idx // ny                              # (:185) row index
     mpx = jnp.asarray(measured_points_x, dtype=base_pos.dtype)
@@ -105,11 +111,18 @@ def plan_footholds(cfg, base_pos, base_quat, base_lin_vel, commands,
     decoded_y = jnp.take(mpy, y_idx % ny)
     foothold_obs = jnp.concatenate([decoded_x, decoded_y], axis=1)  # (N,8)
 
-    optimal_footholds_world = jnp.take_along_axis(
-        heights_world, opt_idx[:, :, None], axis=1)    # (N,4,3)
+    # per-component gathers keep the (N, H, 3) stack debug-only (DCE'd in
+    # training; plan["heights_world"] is consumed by debug_viz alone)
+    optimal_footholds_world = jnp.stack(
+        [jnp.take_along_axis(hw_x, opt_idx, axis=1),
+         jnp.take_along_axis(hw_y, opt_idx, axis=1),
+         jnp.take_along_axis(measured_heights, opt_idx, axis=1)],
+        axis=-1)                                       # (N,4,3)
 
     return dict(foothold_obs=foothold_obs,
                 optimal_footholds_world=optimal_footholds_world,
-                foothold_score=total,
+                # public contract stays (N,H,4); the transpose only
+                # materializes on the debug-viz path
+                foothold_score=jnp.swapaxes(total, 1, 2),
                 heights_world=heights_world,
                 pred_footholds=pred_footholds)

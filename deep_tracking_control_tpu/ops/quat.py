@@ -70,6 +70,21 @@ def quat_apply_yaw(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return quat_rotate(normalize(q_yaw), v)
 
 
+def yaw_rot2d(q: jnp.ndarray, eps: float = 1e-18):
+    """(cos, sin) of the yaw angle of q (xyzw).
+
+    The planar form of quat_apply_yaw: rotating (px, py) by yaw is
+    (c*px - s*py, s*px + c*py).  Used where the (..., 3) vector layout
+    would waste TPU lanes (e.g. the 693-point scan grids: component-plane
+    (N, H) math instead of (N, H, 3)).
+
+    With q_yaw = normalize([0, 0, z, w]): cos = (w^2 - z^2) / (w^2 + z^2),
+    sin = 2 w z / (w^2 + z^2) (half-angle identities)."""
+    z, w = q[..., 2], q[..., 3]
+    inv = 1.0 / (w * w + z * z + eps)
+    return (w * w - z * z) * inv, 2.0 * w * z * inv
+
+
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
     """xyzw quaternion -> 3x3 rotation matrix (body->world)."""
     x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]

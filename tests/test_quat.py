@@ -110,3 +110,19 @@ def test_quat_integrate_constant_rate():
         q = qm.quat_integrate(q, w, 0.01)
     _, _, yaw = qm.get_euler_xyz(q)
     np.testing.assert_allclose(np.asarray(yaw), 1.0, atol=1e-3)
+
+
+def test_yaw_rot2d_matches_quat_apply_yaw():
+    """yaw_rot2d's planar rotation == quat_apply_yaw on xy for random quats."""
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(64, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    v = rng.normal(size=(64, 3)).astype(np.float32)
+    want = np.asarray(qm.quat_apply_yaw(jnp.asarray(q), jnp.asarray(v)))
+    c, s = qm.yaw_rot2d(jnp.asarray(q))
+    c, s = np.asarray(c), np.asarray(s)
+    got_x = c * v[:, 0] - s * v[:, 1]
+    got_y = s * v[:, 0] + c * v[:, 1]
+    np.testing.assert_allclose(got_x, want[:, 0], atol=1e-5)
+    np.testing.assert_allclose(got_y, want[:, 1], atol=1e-5)
+    np.testing.assert_allclose(c * c + s * s, 1.0, atol=1e-5)

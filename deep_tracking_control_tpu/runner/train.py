@@ -301,6 +301,30 @@ class OnPolicyRunner:
                 out_shardings=pmesh.env_leading(self.mesh))(k)
             self.env_state = {**self.env_state, "episode_length": ep_len}
         tot_iter = start_it + num_learning_iterations
+
+        # stats are consumed ONE iteration late: the device->host fetch of
+        # iteration i's scalars overlaps iteration i+1's compute instead of
+        # stalling the chip for the transfer round-trip (~100-150 ms on the
+        # axon tunnel).  Identical rewbuffer/TB content, shifted one loop.
+        pending = None                   # (it, device stats, perf)
+        t_consume = time.time()
+
+        def consume(p_it, p_stats, p_perf):
+            nonlocal t_consume
+            stats = jax.device_get(p_stats)
+            now = time.time()
+            dt_iter = now - t_consume
+            t_consume = now
+            self.tot_timesteps += T * N
+            self.tot_time += dt_iter
+            if stats["ep_count"] > 0:
+                self.rewbuffer.append(
+                    float(stats["ep_rew_sum"] / stats["ep_count"]))
+                self.lenbuffer.append(
+                    float(stats["ep_len_sum"] / stats["ep_count"]))
+            if self.log_dir is not None and (p_it % log_every == 0):
+                self._log(p_it, stats, dt_iter, perf=p_perf)
+
         for it in range(start_it, tot_iter):
             t0 = time.time()
             self.key, k = jax.random.split(self.key)
@@ -329,20 +353,16 @@ class OnPolicyRunner:
                     self.params, self.opt_state, self.vae_opt_state,
                     self.learning_rate, self.env_params, self.env_state,
                     self._log_state, k)
-                stats = jax.device_get(stats)
-            dt_iter = time.time() - t0
-            self.tot_timesteps += T * N
-            self.tot_time += dt_iter
-            if stats["ep_count"] > 0:
-                self.rewbuffer.append(
-                    float(stats["ep_rew_sum"] / stats["ep_count"]))
-                self.lenbuffer.append(
-                    float(stats["ep_len_sum"] / stats["ep_count"]))
-            if self.log_dir is not None and (it % log_every == 0):
-                self._log(it, stats, dt_iter, perf=perf)
+                for leaf in jax.tree.leaves(stats):
+                    leaf.copy_to_host_async()
+            if pending is not None:
+                consume(*pending)
+            pending = (it, stats, perf)
             if self.log_dir is not None and it % save_interval == 0:
                 self.save(os.path.join(self.log_dir, f"model_{it}"))
             self.current_learning_iteration = it + 1
+        if pending is not None:
+            consume(*pending)
         if self.log_dir is not None:
             self.save(os.path.join(
                 self.log_dir, f"model_{self.current_learning_iteration}"))

@@ -9,11 +9,18 @@ sample_nearest one-hot einsums) for the per-step terrain queries:
     the physics mega-kernel's frozen-plane body contacts)
 
 The XLA path materializes the (3, N, 64, 128) patches and the (N, 693, P)
-one-hot row/col weights in HBM (~1.5 GB of traffic per step at 4096 envs,
-~5.8 ms measured).  Here each grid program DMAs one 3-table slab per env
-into VMEM (double-buffered across envs), builds the one-hot weights in
-registers, runs the row stage on the MXU and the column stage on the VPU,
-and writes only the (N, 736) results.
+one-hot row/col weights in HBM (~1.5 GB of traffic per step at 4096 envs);
+here each grid program DMAs per-env slabs into VMEM (double-buffered
+across envs), builds the one-hot weights in registers, and writes only the
+(N, 736) results.
+
+v2 layout (measured against v1's row-first form):
+  * pooled tables stream as bfloat16 (PatchSource.blocks16) — the nearest
+    queries run in bf16 anyway (patch.sample_nearest); raw stays f32.
+  * the scan contraction is COLUMN-FIRST on the MXU — contracting the
+    128-lane col dim uses the full MXU K width (dot (64,128)@(128,704)),
+    and the row stage is a 64-sublane one-hot mul+reduce on the VPU (half
+    the elementwise work of the row-first form's 128-row col stage).
 
 Numerics match terrain/patch.py exactly: nearest sampling in bf16 (same
 justification as sample_nearest), bilinear+slope in f32 with the same
@@ -28,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .patch import COL_BLOCK, PATCH_C, PATCH_R, PatchSource
+from .patch import PATCH_C, PATCH_R, PatchSource
 
 # query layout in the packed (N, Q_TOT) coordinate arrays
 Q_MIN3 = 704          # 693 scan points + padding
@@ -39,53 +46,68 @@ ENVS_PER_PROGRAM = 8
 
 
 def _kernel(hs: float,
-            starts_ref, blocks_ref, fr_ref, fc_ref,
+            starts_ref, raw_ref, pooled_ref, fr_ref, fc_ref,
             h_out, gx_out, gy_out,
-            slab, sem):
+            raw_slab, pooled_slab, sem_r, sem_p):
     g = pl.program_id(0)
     E = ENVS_PER_PROGRAM
 
-    def dma(slot, k):
+    def dma_raw(slot, k):
         i = g * E + k
         r0 = starts_ref[0, i]
         b = starts_ref[1, i]
         return pltpu.make_async_copy(
-            blocks_ref.at[:, b, pl.ds(r0, PATCH_R), :],
-            slab.at[slot], sem.at[slot])
+            raw_ref.at[0, b, pl.ds(r0, PATCH_R), :],
+            raw_slab.at[slot], sem_r.at[slot])
 
-    dma(0, 0).start()
+    def dma_pooled(slot, k):
+        i = g * E + k
+        r0 = starts_ref[0, i]
+        b = starts_ref[1, i]
+        return pltpu.make_async_copy(
+            pooled_ref.at[:, b, pl.ds(r0, PATCH_R), :],
+            pooled_slab.at[slot], sem_p.at[slot])
+
+    dma_raw(0, 0).start()
+    dma_pooled(0, 0).start()
     # queries stay in LANES throughout (a (Q,1)-sublane layout forces
     # pathological relayouts); one-hots are built TRANSPOSED — (R, Q) /
-    # (C, Q) — and the row stage contracts the slab's ROW dim directly:
-    #   rows^T (C, Q) = dot_general(slab (R, C), wr^T (R, Q); contract R)
+    # (C, Q)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (PATCH_R, 1), 0)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (PATCH_C, 1), 0)
     dn_rows = (((0,), (0,)), ((), ()))        # contract dim 0 with dim 0
+    dn_cols = (((1,), (0,)), ((), ()))        # contract cols with dim 0
 
     for k in range(E):
         if k + 1 < E:
-            dma((k + 1) % 2, k + 1).start()
-        dma(k % 2, k).wait()
-        s = slab[k % 2]                       # (3, PATCH_R, PATCH_C) f32
+            dma_raw((k + 1) % 2, k + 1).start()
+            dma_pooled((k + 1) % 2, k + 1).start()
+        dma_raw(k % 2, k).wait()
+        dma_pooled(k % 2, k).wait()
+        s_raw = raw_slab[k % 2]               # (PATCH_R, PATCH_C) f32
+        s_pool = pooled_slab[k % 2]           # (2, PATCH_R, PATCH_C) bf16
         fr = fr_ref[k][None, :]               # (1, Q_TOT)
         fc = fc_ref[k][None, :]
 
         # ---- nearest one-hots for the min3 scan + max10 clearance -------
+        # column-first: cols[r, q] = dot(slab (R, 128), wc (128, Q)) runs
+        # the FULL 128-wide MXU contraction; the row stage is a one-hot
+        # mul + 64-sublane reduce on the VPU.
         near = slice(0, Q_MIN3 + Q_MAX10)
         ir = jnp.clip(jnp.floor(fr[:, near]), 0, PATCH_R - 1
                       ).astype(jnp.int32)
         ic = jnp.clip(jnp.floor(fc[:, near]), 0, PATCH_C - 1
                       ).astype(jnp.int32)
-        wr = (iota_r == ir).astype(jnp.bfloat16)      # (64, 712)
-        wc = (iota_c == ic).astype(jnp.float32)       # (128, 712)
-        rows_min3 = jax.lax.dot_general(
-            s[1].astype(jnp.bfloat16), wr[:, :Q_MIN3], dn_rows,
-            preferred_element_type=jnp.float32)       # (128, 704)
-        h_min3 = jnp.sum(rows_min3 * wc[:, :Q_MIN3], axis=0)
-        rows_max10 = jax.lax.dot_general(
-            s[2].astype(jnp.bfloat16), wr[:, Q_MIN3:], dn_rows,
-            preferred_element_type=jnp.float32)       # (128, 8)
-        h_max10 = jnp.sum(rows_max10 * wc[:, Q_MIN3:], axis=0)
+        wr = (iota_r == ir).astype(jnp.float32)       # (64, 712)
+        wc = (iota_c == ic).astype(jnp.bfloat16)      # (128, 712)
+        cols_min3 = jax.lax.dot_general(
+            s_pool[0], wc[:, :Q_MIN3], dn_cols,
+            preferred_element_type=jnp.float32)       # (64, 704)
+        h_min3 = jnp.sum(cols_min3 * wr[:, :Q_MIN3], axis=0)
+        cols_max10 = jax.lax.dot_general(
+            s_pool[1], wc[:, Q_MIN3:], dn_cols,
+            preferred_element_type=jnp.float32)       # (64, 8)
+        h_max10 = jnp.sum(cols_max10 * wr[:, Q_MIN3:], axis=0)
 
         # ---- bilinear height + slope from the raw table ------------------
         bil = slice(Q_MIN3 + Q_MAX10, Q_TOT)
@@ -102,9 +124,9 @@ def _kernel(hs: float,
         e1c = (iota_c == j0 + 1).astype(jnp.float32)
         wcb = e0c * (1.0 - ty) + e1c * ty
         dwcb = e1c - e0c
-        rows_w = jax.lax.dot_general(s[0], wrb, dn_rows,
+        rows_w = jax.lax.dot_general(s_raw, wrb, dn_rows,
                                      preferred_element_type=jnp.float32)
-        rows_d = jax.lax.dot_general(s[0], dwrb, dn_rows,
+        rows_d = jax.lax.dot_general(s_raw, dwrb, dn_rows,
                                      preferred_element_type=jnp.float32)
         h_b = jnp.sum(rows_w * wcb, axis=0)
         cap = 3.0
@@ -119,7 +141,7 @@ def _kernel(hs: float,
 
 
 @functools.partial(jax.jit, static_argnames=("hs", "interpret"))
-def _sample_all_pallas(blocks, starts, fr, fc, hs: float,
+def _sample_all_pallas(blocks, blocks16, starts, fr, fc, hs: float,
                        interpret: bool = False):
     N = starts.shape[0]
     E = ENVS_PER_PROGRAM
@@ -143,10 +165,13 @@ def _sample_all_pallas(blocks, starts, fr, fc, hs: float,
             num_scalar_prefetch=1,
             grid=(n_pad // E,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY),
                       espec(Q_TOT), espec(Q_TOT)],
             out_specs=(espec(Q_TOT), espec(Q_BIL), espec(Q_BIL)),
             scratch_shapes=[
-                pltpu.VMEM((2, 3, PATCH_R, PATCH_C), jnp.float32),
+                pltpu.VMEM((2, PATCH_R, PATCH_C), jnp.float32),
+                pltpu.VMEM((2, 2, PATCH_R, PATCH_C), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -154,7 +179,7 @@ def _sample_all_pallas(blocks, starts, fr, fc, hs: float,
                    jax.ShapeDtypeStruct((n_pad, Q_BIL), jnp.float32),
                    jax.ShapeDtypeStruct((n_pad, Q_BIL), jnp.float32)),
         interpret=interpret,
-    )(starts, blocks, fr, fc)
+    )(starts, blocks, blocks16, fr, fc)
     return h[:N], gx[:N], gy[:N]
 
 
@@ -176,5 +201,5 @@ def sample_all(src: PatchSource, starts, origin, qx, qy,
     hs = src.horizontal_scale
     fr = (qx - origin[:, 0:1]) / hs
     fc = (qy - origin[:, 1:2]) / hs
-    return _sample_all_pallas(src.blocks, starts, fr, fc, hs,
+    return _sample_all_pallas(src.blocks, src.blocks16, starts, fr, fc, hs,
                               interpret=interpret)

@@ -67,20 +67,28 @@ def pooled_tables(grid: TerrainGrid):
 
 @dataclasses.dataclass
 class PatchSource:
-    """Blocked patch source: blocks (T, B, R_pad, 128), + grid geometry."""
+    """Blocked patch source: blocks (T, B, R_pad, 128), + grid geometry.
+
+    blocks16 is a bfloat16 copy of the POOLED tables (min3, max10) —
+    (2, B, R_pad, 128) — for the fused sampler kernel's slab DMA: the
+    nearest-sampled obs/clearance queries run in bf16 anyway (see
+    sample_nearest), so storing bf16 halves the per-env DMA without any
+    additional rounding.  The raw table stays f32 (contact precision)."""
     blocks: jnp.ndarray
+    blocks16: jnp.ndarray
     n_blocks: int
     n_rows: int
     horizontal_scale: float
     border_size: float
 
     def tree_flatten(self):
-        return (self.blocks,), (self.n_blocks, self.n_rows,
-                                self.horizontal_scale, self.border_size)
+        return (self.blocks, self.blocks16), (
+            self.n_blocks, self.n_rows,
+            self.horizontal_scale, self.border_size)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], *aux)
+        return cls(children[0], children[1], *aux)
 
 
 jax.tree_util.register_pytree_node(
@@ -98,7 +106,9 @@ def make_source(grid: TerrainGrid, tables) -> PatchSource:
                      mode="edge")
     blocks = jnp.stack([padded[:, :, b * COL_BLOCK:b * COL_BLOCK + PATCH_C]
                         for b in range(n_blocks)], axis=1)
-    return PatchSource(blocks=blocks, n_blocks=n_blocks, n_rows=R,
+    return PatchSource(blocks=blocks,
+                       blocks16=blocks[1:].astype(jnp.bfloat16),
+                       n_blocks=n_blocks, n_rows=R,
                        horizontal_scale=grid.horizontal_scale,
                        border_size=grid.border_size)
 

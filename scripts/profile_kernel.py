@@ -58,6 +58,10 @@ def main():
 
     env._pallas_physics = True
     timed("env_step kernel", make_scan(), params, state, key, steps=T)
+    # fused-sampler variant (DTC_PALLAS_SAMPLER is read at trace time)
+    os.environ["DTC_PALLAS_SAMPLER"] = "1"
+    timed("env_step k+sampler", make_scan(), params, state, key, steps=T)
+    os.environ["DTC_PALLAS_SAMPLER"] = "0"
     env._pallas_physics = False
     timed("env_step xla", make_scan(), params, state, key, steps=T)
 

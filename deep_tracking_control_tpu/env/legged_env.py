@@ -357,13 +357,13 @@ class LeggedEnv:
 
         use_kernel = self._pallas_physics and (
             self._pallas_interpret or jax.default_backend() != "cpu")
-        # fused terrain-sampler kernel (terrain/pallas_sampler.py): currently
-        # opt-in — the per-env MXU one-hot matmuls measure ~4.0 ms/step vs
-        # ~3.6 ms for XLA's batched einsum over materialized patches (the
-        # batched-matmul engine pipelines tiny matmuls better than a serial
-        # in-kernel loop).  Kept for further iteration.
+        # fused terrain-sampler kernel (terrain/pallas_sampler.py): default
+        # on the kernel path — one kernel for scan + clearance + body
+        # planes with NO patch extraction and no materialized one-hots
+        # (7.5 -> 4.7 ms/step at 4096 envs vs the XLA einsum sampler).
+        # DTC_PALLAS_SAMPLER=0 falls back for A/B runs.
         use_sampler = (use_kernel and cfg.terrain.measure_heights
-                       and os.environ.get("DTC_PALLAS_SAMPLER", "0") == "1")
+                       and os.environ.get("DTC_PALLAS_SAMPLER", "1") != "0")
 
         # per-env terrain patches, extracted once per policy step; all
         # height queries this step run as matmul-samples from the patches

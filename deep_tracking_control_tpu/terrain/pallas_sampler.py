@@ -43,6 +43,12 @@ Q_MAX10 = 8           # 4 feet + padding
 Q_BIL = 24            # 21 body points + padding
 Q_TOT = Q_MIN3 + Q_MAX10 + Q_BIL
 ENVS_PER_PROGRAM = 8
+# slab rows: PATCH_R + 16.  bf16 tiles are (8,128)x2-packed, so slab DMAs
+# must start at PROVABLY 16-aligned rows with 16-multiple lengths: the
+# host passes r0 // 16 and the kernel multiplies back (Mosaic can prove
+# (16*k) alignment; a runtime-8-aligned r0 it cannot).  Row coords carry
+# the +(r0 % 16) shift, applied outside the kernel after the edge clip.
+SLAB_R = PATCH_R + 16
 
 
 def _kernel(hs: float,
@@ -54,18 +60,18 @@ def _kernel(hs: float,
 
     def dma_raw(slot, k):
         i = g * E + k
-        r0 = starts_ref[0, i]
+        r0 = starts_ref[0, i] * 16     # host passes r0 // 16 (see SLAB_R)
         b = starts_ref[1, i]
         return pltpu.make_async_copy(
-            raw_ref.at[0, b, pl.ds(r0, PATCH_R), :],
+            raw_ref.at[0, b, pl.ds(r0, SLAB_R), :],
             raw_slab.at[slot], sem_r.at[slot])
 
     def dma_pooled(slot, k):
         i = g * E + k
-        r0 = starts_ref[0, i]
+        r0 = starts_ref[0, i] * 16
         b = starts_ref[1, i]
         return pltpu.make_async_copy(
-            pooled_ref.at[:, b, pl.ds(r0, PATCH_R), :],
+            pooled_ref.at[:, b, pl.ds(r0, SLAB_R), :],
             pooled_slab.at[slot], sem_p.at[slot])
 
     dma_raw(0, 0).start()
@@ -73,7 +79,7 @@ def _kernel(hs: float,
     # queries stay in LANES throughout (a (Q,1)-sublane layout forces
     # pathological relayouts); one-hots are built TRANSPOSED — (R, Q) /
     # (C, Q)
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (PATCH_R, 1), 0)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (SLAB_R, 1), 0)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (PATCH_C, 1), 0)
     dn_rows = (((0,), (0,)), ((), ()))        # contract dim 0 with dim 0
     dn_cols = (((1,), (0,)), ((), ()))        # contract cols with dim 0
@@ -84,8 +90,8 @@ def _kernel(hs: float,
             dma_pooled((k + 1) % 2, k + 1).start()
         dma_raw(k % 2, k).wait()
         dma_pooled(k % 2, k).wait()
-        s_raw = raw_slab[k % 2]               # (PATCH_R, PATCH_C) f32
-        s_pool = pooled_slab[k % 2]           # (2, PATCH_R, PATCH_C) bf16
+        s_raw = raw_slab[k % 2]               # (SLAB_R, PATCH_C) f32
+        s_pool = pooled_slab[k % 2]           # (2, SLAB_R, PATCH_C) bf16
         fr = fr_ref[k][None, :]               # (1, Q_TOT)
         fc = fc_ref[k][None, :]
 
@@ -94,15 +100,15 @@ def _kernel(hs: float,
         # the FULL 128-wide MXU contraction; the row stage is a one-hot
         # mul + 64-sublane reduce on the VPU.
         near = slice(0, Q_MIN3 + Q_MAX10)
-        ir = jnp.clip(jnp.floor(fr[:, near]), 0, PATCH_R - 1
+        ir = jnp.clip(jnp.floor(fr[:, near]), 0, SLAB_R - 1
                       ).astype(jnp.int32)
         ic = jnp.clip(jnp.floor(fc[:, near]), 0, PATCH_C - 1
                       ).astype(jnp.int32)
-        wr = (iota_r == ir).astype(jnp.float32)       # (64, 712)
+        wr = (iota_r == ir).astype(jnp.float32)       # (72, 712)
         wc = (iota_c == ic).astype(jnp.bfloat16)      # (128, 712)
         cols_min3 = jax.lax.dot_general(
             s_pool[0], wc[:, :Q_MIN3], dn_cols,
-            preferred_element_type=jnp.float32)       # (64, 704)
+            preferred_element_type=jnp.float32)       # (72, 704)
         h_min3 = jnp.sum(cols_min3 * wr[:, :Q_MIN3], axis=0)
         cols_max10 = jax.lax.dot_general(
             s_pool[1], wc[:, Q_MIN3:], dn_cols,
@@ -112,11 +118,11 @@ def _kernel(hs: float,
         # ---- bilinear height + slope from the raw table ------------------
         bil = slice(Q_MIN3 + Q_MAX10, Q_TOT)
         frb, fcb = fr[:, bil], fc[:, bil]             # (1, 24)
-        i0 = jnp.clip(jnp.floor(frb), 0, PATCH_R - 2).astype(jnp.int32)
+        i0 = jnp.clip(jnp.floor(frb), 0, SLAB_R - 2).astype(jnp.int32)
         tx = jnp.clip(frb - i0.astype(jnp.float32), 0.0, 1.0)
         j0 = jnp.clip(jnp.floor(fcb), 0, PATCH_C - 2).astype(jnp.int32)
         ty = jnp.clip(fcb - j0.astype(jnp.float32), 0.0, 1.0)
-        e0r = (iota_r == i0).astype(jnp.float32)      # (64, 24)
+        e0r = (iota_r == i0).astype(jnp.float32)      # (72, 24)
         e1r = (iota_r == i0 + 1).astype(jnp.float32)
         wrb = e0r * (1.0 - tx) + e1r * tx
         dwrb = e1r - e0r
@@ -145,6 +151,13 @@ def _sample_all_pallas(blocks, blocks16, starts, fr, fc, hs: float,
                        interpret: bool = False):
     N = starts.shape[0]
     E = ENVS_PER_PROGRAM
+    # bf16 slabs DMA from the 16-aligned floor of r0; row coords get the
+    # +(r0 % 16) in-slab shift.  The clip-to-patch-edge happens BEFORE the
+    # shift so out-of-patch queries clamp to the same cell as the XLA path
+    # (clip(f, 0, R-1) then floor == floor-then-clip for these bounds).
+    delta = jnp.remainder(starts[:, 0], 16)
+    starts = starts.at[:, 0].set(starts[:, 0] // 16)
+    fr = jnp.clip(fr, 0, PATCH_R - 1) + delta[:, None].astype(fr.dtype)
     pad = (-N) % E
     if pad:
         starts = jnp.concatenate(
@@ -169,8 +182,8 @@ def _sample_all_pallas(blocks, blocks16, starts, fr, fc, hs: float,
                       espec(Q_TOT), espec(Q_TOT)],
             out_specs=(espec(Q_TOT), espec(Q_BIL), espec(Q_BIL)),
             scratch_shapes=[
-                pltpu.VMEM((2, PATCH_R, PATCH_C), jnp.float32),
-                pltpu.VMEM((2, 2, PATCH_R, PATCH_C), jnp.bfloat16),
+                pltpu.VMEM((2, SLAB_R, PATCH_C), jnp.float32),
+                pltpu.VMEM((2, 2, SLAB_R, PATCH_C), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],

@@ -101,7 +101,10 @@ def make_source(grid: TerrainGrid, tables) -> PatchSource:
     n_blocks = max(-(-C // COL_BLOCK), 1)
     # pad cols so every slab [64b, 64b+128) is full, rows so r0+64 <= R_pad
     pad_c = n_blocks * COL_BLOCK + (PATCH_C - COL_BLOCK) - C
-    pad_r = PATCH_R
+    # +16 rows beyond the PATCH_R slab: the bf16 pooled tables must be
+    # DMA'd from 16-aligned row starts (bf16 (8,128)x2 packed tiling), so
+    # the fused sampler reads a [r0 & ~15, r0 & ~15 + 72) superset slab
+    pad_r = PATCH_R + 16
     padded = jnp.pad(tables, ((0, 0), (0, pad_r), (0, max(pad_c, 0))),
                      mode="edge")
     blocks = jnp.stack([padded[:, :, b * COL_BLOCK:b * COL_BLOCK + PATCH_C]

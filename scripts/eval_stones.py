@@ -67,8 +67,10 @@ def evaluate(args, num_envs=None, steps=None, difficulty=0.45):
 
     N = env.num_envs
 
+    T = steps
+
     @jax.jit
-    def rollout(params, state, key, T):
+    def rollout(params, state, key):
         def body(c, k):
             state = c
             a = policy(state["obs"], state["obs_history"],
@@ -85,7 +87,7 @@ def evaluate(args, num_envs=None, steps=None, difficulty=0.45):
 
     params, state = runner.env_params, runner.env_state
     state, errs, falls, dones = rollout(params, state,
-                                        jax.random.PRNGKey(42), steps)
+                                        jax.random.PRNGKey(42))
     errs = np.asarray(errs)
     falls = np.asarray(falls)
     dones = np.asarray(dones)

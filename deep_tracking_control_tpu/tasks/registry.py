@@ -159,6 +159,11 @@ def x30_dtc():
     task, train = lite3_dtc()
     task = dataclasses.replace(
         task,
+        # x30_dtc_config defines no commands class -> inherits the BASE
+        # ranges (legged_robot_config.py:62-74), not lite3's +-0.75/0.5
+        commands=dataclasses.replace(task.commands, ranges=CommandRanges(
+            lin_vel_x=(-1.0, 1.0), lin_vel_y=(-1.0, 1.0),
+            ang_vel_yaw=(-1.0, 1.0))),
         terrain=dataclasses.replace(task.terrain, horizontal_scale=0.1,
                                     num_rows=10, num_cols=10,
                                     terrain_proportions=(0.1, 0.1, 0.2, 0.2, 0.2, 0.2)),
@@ -195,17 +200,37 @@ def x30_dtc():
 
 
 def x30_rough():
-    """X30 rough-terrain task (x30_rough_config.py)."""
+    """X30 rough-terrain pretraining task (x30_rough_config.py).
+
+    The reference's committed x30_rough has every base reward scale
+    commented out (legged_robot_config.py:146-170) and its own runs were
+    resumed from pre-existing checkpoints (x30_rough_config.py:75-76) —
+    as committed it trains nothing.  This recipe is the working stage-1
+    for the staged X30 protocol the reference's commented resume lines
+    imply (see PARITY.md): lite3-style soft-tracking positives, softened
+    penalties, and only_positive_rewards=True (the base config's own
+    "avoids early termination problems" device) so early X30 policies
+    don't collapse into terminate-fast exploits.  Obs layout stays
+    53-dim (foothold obs zeroed by the disabled planner) so checkpoints
+    transfer into x30_dtc."""
     task, train = x30_dtc()
     task = dataclasses.replace(
         task,
         env=dataclasses.replace(task.env, num_envs=2048),
-        asset=dataclasses.replace(task.asset, terminate_after_contacts_on=()),
         rewards=dataclasses.replace(
             task.rewards,
+            only_positive_rewards=True,
+            base_height_target=0.49,       # x30_rough_config.py:63
             scales=dataclasses.replace(task.rewards.scales,
-                                       tracking_optimal_footholds=0.0,
-                                       feet_stumble=-1.0)),
+                                       tracking_lin_vel=0.0,
+                                       tracking_ang_vel=0.0,
+                                       soft_tracking_lin_vel=2.0,
+                                       soft_tracking_ang_vel=0.5,
+                                       lin_vel_z=-1.0,
+                                       base_height=-4.0,
+                                       big_pitch=-2.0,
+                                       feet_stumble=-1.0,
+                                       tracking_optimal_footholds=0.0)),
         use_dtc_planner=False,
     )
     train = dataclasses.replace(

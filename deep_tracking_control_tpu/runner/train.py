@@ -467,14 +467,20 @@ class OnPolicyRunner:
         self.current_learning_iteration = int(restored["iter"])
         self.key = restored["key"]
         ck_envs = restored["env_state"]["commands"].shape[0]
-        if ck_envs == self.env.num_envs:
+        same_struct = (jax.tree.structure(restored["env_state"])
+                       == jax.tree.structure(self.env_state))
+        if ck_envs == self.env.num_envs and same_struct:
             self.env_state = pmesh.apply_shardings(restored["env_state"],
                                                    self._state_shardings)
             self.env_params = pmesh.apply_shardings(restored["env_params"],
                                                     self._params_shardings)
         else:
-            print(f"checkpoint has {ck_envs} envs, runner has "
-                  f"{self.env.num_envs}: keeping fresh env state")
+            # cross-task resume (e.g. rough_X30 -> x30_dtc: different
+            # active reward terms in the episode-sum metrics) or env-count
+            # change: params/optimizer transfer, env state starts fresh
+            print(f"checkpoint env state (envs={ck_envs}, "
+                  f"same_struct={same_struct}) incompatible with runner "
+                  f"(envs={self.env.num_envs}): keeping fresh env state")
 
     # ------------------------------------------------------------------
     def get_inference_policy(self, teacher: bool = True):

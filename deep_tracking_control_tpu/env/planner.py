@@ -10,6 +10,7 @@ All arrays are env-leading (N, ...) here — this is network/obs-layer code.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import quat as qm
 
@@ -58,20 +59,33 @@ def plan_footholds(cfg, base_pos, base_quat, base_lin_vel, commands,
     pred_footholds = p_shoulder + p_symmetric          # (N,4,3)
 
     # --- terrain scoring (legged_robot_dtc.py:124-148)
-    rel = measured_heights - base_pos[:, 2:3]
-    grid = rel.reshape(N, nx, ny)
-    exception = (grid > 1.0) | (grid < -1.0)
-    grid = jnp.clip(grid, -0.5, 0.5)
-    # torch.gradient semantics: central differences inside, one-sided at edges
+    # FLAT (N, H) layout throughout: the (N, 33, 21) grid view would put
+    # 21 in the 128-lane minor dim; gradients run as lane shifts with
+    # static boundary masks (same central-inside/one-sided-at-edges
+    # semantics as torch.gradient / jnp.gradient)
+    rel = measured_heights - base_pos[:, 2:3]          # (N, H)
+    exception = (rel > 1.0) | (rel < -1.0)
+    g = jnp.clip(rel, -0.5, 0.5)
     spacing = 0.05                                     # (:134 note)
-    dx = jnp.gradient(grid, spacing, axis=1)
-    dy = jnp.gradient(grid, spacing, axis=2)
+    # d/dx: neighbor rows are +-ny in the flat index
+    dx = jnp.concatenate(
+        [(g[:, ny:2 * ny] - g[:, :ny]) / spacing,
+         (g[:, 2 * ny:] - g[:, :-2 * ny]) / (2 * spacing),
+         (g[:, -ny:] - g[:, -2 * ny:-ny]) / spacing], axis=1)
+    # d/dy: neighbor cols are +-1, with one-sided edges at each j=0 / j=ny-1
+    up = jnp.concatenate([g[:, 1:], g[:, -1:]], axis=1)
+    dn = jnp.concatenate([g[:, :1], g[:, :-1]], axis=1)
+    j = np.arange(H) % ny
+    m_lo = jnp.asarray(j == 0)
+    m_hi = jnp.asarray(j == ny - 1)
+    dy = jnp.where(m_lo, (up - g) / spacing,
+                   jnp.where(m_hi, (g - dn) / spacing,
+                             (up - dn) / (2 * spacing)))
     slope = jnp.sqrt(dx * dx + dy * dy)
-    h_mean = jnp.mean(grid, axis=(1, 2), keepdims=True)
-    roughness = jnp.abs(grid - h_mean)
-    edge = jnp.clip(jnp.sqrt(jnp.var(grid, axis=(1, 2))), 0.0, 0.3)
-    score = 0.2 * edge[:, None, None] + 1.0 * slope + 0.3 * roughness
-    score = score.reshape(N, H)
+    h_mean = jnp.mean(g, axis=1, keepdims=True)
+    roughness = jnp.abs(g - h_mean)
+    edge = jnp.clip(jnp.sqrt(jnp.var(g, axis=1)), 0.0, 0.3)
+    score = 0.2 * edge[:, None] + 1.0 * slope + 0.3 * roughness
     score = jnp.where(score < 0.1, score, 10.0)        # (:148)
 
     # --- world-frame scan points (:152-156) — component-plane (N, H) math
@@ -92,7 +106,7 @@ def plan_footholds(cfg, base_pos, base_quat, base_lin_vel, commands,
     dis = jnp.sqrt(dx * dx + dy * dy)                  # (N,4,H)
     dis = jnp.where(dis < 0.16, dis, 10.0)
     total = score[:, None, :] * 0.2 + dis * 0.8
-    total = jnp.where(exception.reshape(N, H)[:, None, :], 10.0, total)
+    total = jnp.where(exception[:, None, :], 10.0, total)
 
     # --- argmin per leg (ktop=1, :179-201)
     opt_idx = jnp.argmin(total, axis=2)                # (N,4)

@@ -1,0 +1,118 @@
+"""Elimination profiling of env.step on the live backend.
+
+Device tracing is unavailable over the remote tunnel, so this measures
+component costs by differencing: time the full env.step scan, then
+variants with one component stubbed out (planner off, rewards zeroed,
+resets identity, obs noise off, pushes off).  Each variant recompiles.
+
+Usage: python scripts/profile_elim.py [--num_envs 4096] [--steps 50]
+"""
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def timed(name, fn, *args, steps):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / steps * 1e3
+    print(f"{name:14s}: {dt:8.3f} ms/step", flush=True)
+    return dt
+
+
+def make_env(task_mod=None):
+    from deep_tracking_control_tpu.env.legged_env import LeggedEnv
+    from deep_tracking_control_tpu.tasks.registry import get_cfgs
+    cfg, _ = get_cfgs("lite3_dtc")
+    cfg = dataclasses.replace(
+        cfg, env=dataclasses.replace(cfg.env, num_envs=NUM_ENVS))
+    if task_mod:
+        cfg = task_mod(cfg)
+    return LeggedEnv(cfg, terrain_seed=1)
+
+
+def scan_fn(env, T):
+    @jax.jit
+    def env_scan(params, state, key):
+        def body(s, k):
+            s, out = env.step(params, s, jnp.zeros((NUM_ENVS, env.num_actions)), k)
+            return s, out["rew"]
+        s, rews = jax.lax.scan(body, state, jax.random.split(key, T))
+        return s["phys"]["pos"], rews
+    return env_scan
+
+
+def main():
+    global NUM_ENVS
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num_envs", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=50)
+    args = ap.parse_args()
+    NUM_ENVS = args.num_envs
+    T = args.steps
+    key = jax.random.PRNGKey(0)
+
+    from deep_tracking_control_tpu.env import legged_env as le, rewards as rw
+
+    env = make_env()
+    params, state = env.init(key)
+    print(f"backend={jax.default_backend()} N={NUM_ENVS} T={T}", flush=True)
+    base = timed("full", scan_fn(env, T), params, state, key, steps=T)
+
+    # planner off (foothold obs zeroed; obs dims unchanged)
+    env2 = make_env(lambda c: dataclasses.replace(c, use_dtc_planner=False))
+    p2, s2 = env2.init(key)
+    timed("no-planner", scan_fn(env2, T), p2, s2, key, steps=T)
+
+    # rewards zeroed (one zeros vector; termination kept for resets)
+    orig_cr = rw.compute_rewards
+    def zero_cr(names, sdt, ctx, op, tdt):
+        z = jnp.zeros_like(ctx["root_z"])
+        pt = {n: z for n in names}
+        if tdt != 0.0:
+            pt["termination"] = z
+        return z, pt
+    rw.compute_rewards = zero_cr
+    try:
+        env3 = make_env()
+        p3, s3 = env3.init(key)
+        timed("no-rewards", scan_fn(env3, T), p3, s3, key, steps=T)
+    finally:
+        rw.compute_rewards = orig_cr
+
+    # resets identity
+    orig_ar = le.LeggedEnv._apply_reset
+    le.LeggedEnv._apply_reset = lambda self, state, done, key: state
+    try:
+        env4 = make_env()
+        p4, s4 = env4.init(key)
+        timed("no-resets", scan_fn(env4, T), p4, s4, key, steps=T)
+    finally:
+        le.LeggedEnv._apply_reset = orig_ar
+
+    # obs noise off
+    env5 = make_env(lambda c: dataclasses.replace(
+        c, noise=dataclasses.replace(c.noise, add_noise=False)))
+    p5, s5 = env5.init(key)
+    timed("no-noise", scan_fn(env5, T), p5, s5, key, steps=T)
+
+    # pushes off
+    env6 = make_env(lambda c: dataclasses.replace(
+        c, domain_rand=dataclasses.replace(c.domain_rand,
+                                           push_robots=False)))
+    p6, s6 = env6.init(key)
+    timed("no-push", scan_fn(env6, T), p6, s6, key, steps=T)
+
+
+if __name__ == "__main__":
+    main()

@@ -293,8 +293,11 @@ class LeggedEnv:
             kp_factors=jnp.ones((N, nq), dtype=jnp.float32),
             kd_factors=jnp.ones((N, nq), dtype=jnp.float32),
             motor_offsets=jnp.zeros((N, nq), dtype=jnp.float32),
-            episode_sums={n: jnp.zeros((N,), dtype=jnp.float32)
-                          for n in self.episode_sum_names},
+            # ONE (K, N) stack instead of a K-entry dict of (N,): the 34
+            # per-term accumulations/resets/metric reductions become single
+            # fused ops instead of 34 separate XLA fusion roots
+            episode_sums=jnp.zeros((len(self.episode_sum_names), N),
+                                   dtype=jnp.float32),
             pitch_est=jnp.zeros((N,), dtype=jnp.float32),
             obs_history=jnp.zeros((N, self.num_obs_history), dtype=jnp.float32),
             obs=jnp.zeros((N, self.num_obs), dtype=jnp.float32),
@@ -736,8 +739,8 @@ class LeggedEnv:
         rew_buf, per_term = rew_mod.compute_rewards(
             self.reward_names, self.reward_scales_dt, ctx,
             cfg.rewards.only_positive_rewards, self.termination_scale_dt)
-        episode_sums = {n: state["episode_sums"][n] + per_term[n]
-                        for n in self.episode_sum_names}
+        episode_sums = state["episode_sums"] + jnp.stack(
+            [per_term[n] for n in self.episode_sum_names])
 
         # ---- masked reset (legged_robot.py:200-272) -------------------------
         mid_state = {**state,
@@ -833,9 +836,10 @@ class LeggedEnv:
         over done envs (host divides by count for means)."""
         n_done = jnp.sum(done.astype(jnp.float32))
         out = {"n_done": n_done}
-        for n in self.episode_sum_names:
-            s = state["episode_sums"][n] / self.cfg.env.episode_length_s
-            out["rew_" + n] = jnp.sum(jnp.where(done, s, 0.0))
+        sums = jnp.sum(jnp.where(done[None, :], state["episode_sums"], 0.0),
+                       axis=1) / self.cfg.env.episode_length_s      # (K,)
+        for i, n in enumerate(self.episode_sum_names):
+            out["rew_" + n] = sums[i]
         return out
 
     # ------------------------------------------------------------------
@@ -856,8 +860,9 @@ class LeggedEnv:
         if cfg.commands.curriculum and "tracking_lin_vel" in self.episode_sum_names:
             gate = (state["common_step"] % self.max_episode_length) == 0
             n_done = jnp.maximum(jnp.sum(done.astype(jnp.float32)), 1.0)
+            tl_row = self.episode_sum_names.index("tracking_lin_vel")
             mean_track = jnp.sum(jnp.where(
-                done, state["episode_sums"]["tracking_lin_vel"], 0.0)) / n_done
+                done, state["episode_sums"][tl_row], 0.0)) / n_done
             good = (mean_track / self.max_episode_length
                     > 0.8 * self.reward_scales_dt["tracking_lin_vel"])
             mc = cfg.commands.max_curriculum
@@ -980,8 +985,8 @@ class LeggedEnv:
                                             state["ang_vel_buffer"]),
                 "cmd_buffer": jnp.where(done[:, None, None], 0.0,
                                         state["cmd_buffer"]),
-                "episode_sums": {n: jnp.where(done, 0.0, v) for n, v in
-                                 state["episode_sums"].items()},
+                "episode_sums": jnp.where(done[None, :], 0.0,
+                                          state["episode_sums"]),
                 }
 
     # ------------------------------------------------------------------

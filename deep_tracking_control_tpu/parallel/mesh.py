@@ -49,7 +49,8 @@ def _spec_for_leaf(path_keys, leaf, num_envs) -> P:
     if not shape:
         return P()
     keys = [getattr(k, "key", getattr(k, "name", str(k))) for k in path_keys]
-    trailing_groups = {"phys", "anchors", "inertias", "body_pts", "planes"}
+    trailing_groups = {"phys", "anchors", "inertias", "body_pts", "planes",
+                       "episode_sums"}
     if any(k in trailing_groups for k in keys):
         return P(*([None] * (len(shape) - 1) + [ENV_AXIS]))
     if shape[0] == num_envs:

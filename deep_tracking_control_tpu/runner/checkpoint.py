@@ -51,10 +51,18 @@ def load(path: str, like_tree):
 def get_load_path(root: str, load_run: str = "-1", checkpoint: int = -1):
     """Checkpoint discovery (helpers.py:73-95): latest run dir / model_* by
     number unless explicitly given."""
+    def has_ckpt(d):
+        p = os.path.join(root, d)
+        return any(re.match(r"model_(\d+)$", f) for f in os.listdir(p))
+
     runs = sorted(d for d in os.listdir(root)
                   if os.path.isdir(os.path.join(root, d)))
+    if load_run in ("-1", -1):
+        # latest run that actually contains checkpoints (a resume launch
+        # creates its own empty run dir before loading — skip it)
+        runs = [d for d in runs if has_ckpt(d)]
     if not runs:
-        raise FileNotFoundError(f"no runs in {root}")
+        raise FileNotFoundError(f"no runs with checkpoints in {root}")
     run = runs[-1] if load_run in ("-1", -1) else load_run
     run_dir = os.path.join(root, run)
     models = [(int(m.group(1)), d) for d in os.listdir(run_dir)

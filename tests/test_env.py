@@ -88,9 +88,8 @@ def test_reset_on_timeout(small_env):
     assert np.all(np.asarray(out3["time_out"]))
     # episode length cleared for the new episode
     assert np.all(np.asarray(state3["episode_length"]) == 0)
-    # episode sums were flushed to metrics and cleared
-    for n in env.episode_sum_names:
-        np.testing.assert_allclose(np.asarray(state3["episode_sums"][n]), 0.0)
+    # episode sums were flushed to metrics and cleared ((K, N) stack)
+    np.testing.assert_allclose(np.asarray(state3["episode_sums"]), 0.0)
     assert float(out3["metrics"]["n_done"]) == 4.0
 
 
@@ -194,9 +193,9 @@ def test_command_curriculum_widens():
     r0 = np.asarray(state["command_lin_vel_x"]).copy()
     # craft a state at the curriculum gate with saturated tracking sums
     scale = env.reward_scales_dt["tracking_lin_vel"]
-    sums = dict(state["episode_sums"])
-    sums["tracking_lin_vel"] = jnp.full((4,), 0.95 * scale
-                                        * env.max_episode_length)
+    row = env.episode_sum_names.index("tracking_lin_vel")
+    sums = jnp.asarray(state["episode_sums"]).at[row].set(
+        0.95 * scale * env.max_episode_length)
     gated = {**state,
              "episode_sums": sums,
              "common_step": jnp.asarray(env.max_episode_length - 1,

@@ -292,6 +292,9 @@ class PolicyCfg:
     terrain_latent: int = 512
     cenet_latent: int = 16            # z dim; mu is 3 (vel) + 16
     policy_class_name: str = "ActorCriticDecoder"
+    # latent_var outlier filter: "median" (exact reference semantics,
+    # sort-free bitwise selection) or "mean" (cheap approximation)
+    outlier_filter: str = "median"
     rnn_type: str = "gru"
     rnn_hidden_size: int = 256
     rnn_num_layers: int = 1

@@ -773,10 +773,12 @@ class LeggedEnv:
             mid_state["planes"] = planes_next
         metrics = self._reset_metrics(mid_state, reset_buf)
         new_state = self._apply_reset(mid_state, reset_buf, keys[3])
-        # terrain level of resetting envs AFTER the curriculum update
-        # (legged_robot.py:213-214 then :258-259); host divides by n_done
-        metrics["terrain_level"] = jnp.sum(jnp.where(
-            reset_buf, new_state["terrain_levels"].astype(jnp.float32), 0.0))
+        # mean terrain level over ALL envs AFTER the curriculum update
+        # (legged_robot.py:259 logs torch.mean(self.terrain_levels.float())
+        # over the whole fleet); the 24-step scan sums these per-step means
+        # and the host divides by num_steps_per_env
+        metrics["terrain_level"] = jnp.mean(
+            new_state["terrain_levels"].astype(jnp.float32))
 
         # ---- observations (dtc.py:254-288) ----------------------------------
         new_state, obs_out = self._compute_observations(

@@ -64,6 +64,43 @@ class MLP(nn.Module):
         return x.astype(jnp.float32)
 
 
+def masked_median(x, valid):
+    """Exact median of ``x[valid]`` — the lower middle element for even
+    counts, matching ``torch.Tensor.median`` — without a TPU sort.
+
+    Bitwise binary search over the monotonic uint32 image of float32: 32
+    branchless count-reduction passes (~each a compare+sum over the block,
+    microseconds at minibatch sizes) find the k-th smallest key exactly;
+    a final masked max over the equal elements reconnects the gradient to
+    the selected element, mirroring torch's ``t[outliers] = median``
+    assignment semantics (actor_critic_decoder.py:293-299)."""
+    flat = x.reshape(-1).astype(jnp.float32)
+    v = valid.reshape(-1)
+    bits = jax.lax.bitcast_convert_type(flat, jnp.int32)
+    # order-preserving f32 -> uint32: flip sign bit for positives, all
+    # bits for negatives (standard radix-sort key transform)
+    key = jnp.where(bits < 0, ~bits,
+                    bits ^ jnp.int32(-2**31)).astype(jnp.uint32)
+    n = jnp.sum(v)
+    k = (n + 1) // 2                         # 1-based lower-middle rank
+
+    def body(_, lh):
+        lo, hi = lh                          # invariant: kth key in [lo, hi]
+        mid = lo + (hi - lo) // 2
+        ge = jnp.sum(v & (key <= mid)) >= k
+        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+    lo, _ = jax.lax.fori_loop(
+        0, 32, body, (jnp.uint32(0), jnp.uint32(2**32 - 1)))
+    ib = lo.astype(jnp.int32)
+    med_bits = jnp.where(ib < 0, ib ^ jnp.int32(-2**31), ~ib)
+    med = jax.lax.bitcast_convert_type(med_bits, jnp.float32)
+    # differentiable reconnection: max over the (valid) elements equal to
+    # the median value — grads flow to one selected element, like torch
+    sel = v & (flat == jax.lax.stop_gradient(med))
+    return jnp.max(jnp.where(sel, flat, -jnp.inf))
+
+
 class Vae(nn.Module):
     """CE-net + terrain autoencoder + belief memory MLP (Vae, :91-303)."""
     num_obs: int = 53
@@ -71,6 +108,10 @@ class Vae(nn.Module):
     terrain_dim: int = 693
     terrain_latent: int = 512
     z_dim: int = 16
+    # latent_var outlier filter: "median" = exact reference semantics
+    # (median of the non-outliers via masked_median); "mean" = masked mean
+    # of the non-outliers (round-1/2 cheap approximation, kept as fallback)
+    outlier_filter: str = "median"
 
     def setup(self):
         self.cenet_encoder = MLP(hidden=(128,), out=64, act="relu",
@@ -98,17 +139,20 @@ class Vae(nn.Module):
         mu = self.latent_mu(e)
         logvar = self.latent_var(e)
         # outlier handling (:293-299): replace >2-sigma entries (over the
-        # whole batch) with a robust central value of the non-outliers.
-        # The reference uses the exact median; a full sort per forward pass
-        # is one of the most expensive ops on TPU, so we use the masked
-        # MEAN of the non-outliers — by construction within 2 sigma of the
-        # median, and the filter only fires on rare (>2 sigma) entries.
+        # whole batch) with the median of the non-outliers.  "median" runs
+        # the exact reference semantics via the sort-free masked_median;
+        # "mean" is the cheap masked-mean approximation (within 2 sigma of
+        # the median by construction; the filter only fires on rare
+        # >2-sigma entries).
         m = jnp.mean(logvar)
         s = jnp.std(logvar)
         outliers = jnp.abs(logvar - m) > 2.0 * s
         valid = ~outliers
-        center = (jnp.sum(jnp.where(valid, logvar, 0.0))
-                  / jnp.maximum(jnp.sum(valid), 1))
+        if self.outlier_filter == "median":
+            center = masked_median(logvar, valid)
+        else:
+            center = (jnp.sum(jnp.where(valid, logvar, 0.0))
+                      / jnp.maximum(jnp.sum(valid), 1))
         logvar = jnp.where(outliers, center, logvar)
         std = jnp.exp(0.5 * logvar)
         eps = jax.random.normal(rng, std.shape, dtype=std.dtype)
@@ -144,12 +188,14 @@ class ActorCriticDecoder(nn.Module):
     activation: str = "elu"
     init_noise_std: float = 1.0
     is_recurrent: bool = False
+    outlier_filter: str = "median"
 
     def setup(self):
         self.vae = Vae(num_obs=self.num_obs,
                        obs_history_dim=self.obs_history_dim,
                        terrain_dim=self.terrain_dim,
-                       terrain_latent=self.terrain_latent, z_dim=self.z_dim)
+                       terrain_latent=self.terrain_latent, z_dim=self.z_dim,
+                       outlier_filter=self.outlier_filter)
         self.actor_body = MLP(hidden=self.actor_hidden, out=self.num_actions,
                               act=self.activation, name="actor_body")
         self.critic_body = MLP(hidden=self.critic_hidden, out=1,

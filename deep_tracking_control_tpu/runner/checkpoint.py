@@ -38,6 +38,27 @@ def metadata(path: str):
     return ckptr.metadata(path)
 
 
+def tree_metadata(path: str):
+    """Stored tree metadata as a plain dict pytree, or raise.
+
+    Handles both orbax metadata shapes explicitly — some versions return
+    the metadata tree directly, others wrap it in an object carrying
+    `item_metadata` — and FAILS LOUDLY on anything else, so orbax API
+    drift can never silently degrade a resume into the fresh-env-state
+    fallback in OnPolicyRunner.load."""
+    meta = metadata(path)
+    tree = getattr(meta, "item_metadata", meta)
+    # some orbax versions nest once more (CompositeItemMetadata)
+    if not isinstance(tree, dict):
+        tree = getattr(tree, "tree", tree)
+    if not isinstance(tree, dict) or "env_state" not in tree:
+        raise RuntimeError(
+            f"unrecognized orbax checkpoint metadata at {path}: "
+            f"{type(meta).__name__} (expected a dict containing "
+            "'env_state'; orbax API drift or a foreign checkpoint)")
+    return tree
+
+
 def load(path: str, like_tree):
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()

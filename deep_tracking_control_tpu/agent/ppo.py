@@ -253,9 +253,29 @@ class PPO:
         # draws randperm once outside the epoch loop), applied to the flat
         # batch ONCE — minibatches are then contiguous slices, so the
         # expensive row gather happens 1x per update instead of
-        # epochs*minibatches times
-        perm = jax.random.permutation(k_perm, total)[:nmb * mb_size]
-        flat = jax.tree.map(lambda x: x[perm], flat)
+        # epochs*minibatches times.  With minibatch_perm_granule G > 1 the
+        # permutation runs over groups of G flat-adjacent rows: TPU gathers
+        # are issue-bound on tiny rows, so widening each transfer G-fold
+        # takes the shuffle from ~12 ms to ~1 ms at 4096 envs (see
+        # AlgorithmCfg.minibatch_perm_granule; PARITY.md "Known deviations").
+        import math
+        import os
+        # the configured granule is a CAP: the effective granule is its gcd
+        # with the minibatch size so tiny test batches stay valid
+        G = math.gcd(max(int(alg.minibatch_perm_granule), 1), mb_size)
+        perm = jax.random.permutation(k_perm, total // G)[:nmb * mb_size // G]
+        use_dma = (os.environ.get("DTC_PALLAS_GATHER", "1") != "0"
+                   and jax.default_backend() != "cpu")
+        if use_dma:
+            # grouped HBM->HBM DMA gather (ops/pallas_gather.py): XLA's
+            # row gather runs ~5x off bandwidth on these shapes
+            from ..ops.pallas_gather import permute_groups
+            flat = permute_groups(flat, perm, G)
+        else:
+            flat = jax.tree.map(
+                lambda x: x.reshape((total // G, G) + x.shape[1:])[perm]
+                           .reshape((nmb * mb_size,) + x.shape[1:]),
+                flat)
         offsets = jnp.tile(jnp.arange(nmb) * mb_size,
                            alg.num_learning_epochs)
 

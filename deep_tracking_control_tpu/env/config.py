@@ -317,6 +317,15 @@ class AlgorithmCfg:
     desired_kl: float = 0.01
     max_grad_norm: float = 1.0
     kld_weight: float = 4.0               # ppo.py:247
+    # Minibatch shuffle granularity.  1 = exact reference semantics
+    # (rollout_storage.py:165 randperm over individual transitions).
+    # G > 1 permutes GROUPS of G flat-adjacent transitions (same timestep,
+    # adjacent env ids) instead of single rows: the gradient estimator
+    # stays unbiased (uniformly random partition at group granularity) and
+    # adjacent-env samples are nearly independent (different terrains /
+    # commands / phases), but the TPU row gather shrinks from T*N tiny
+    # transfers to T*N/G large ones.  Deviation documented in PARITY.md.
+    minibatch_perm_granule: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

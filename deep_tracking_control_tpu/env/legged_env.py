@@ -25,7 +25,7 @@ from ..robot.model import RobotModel, load_urdf
 from ..terrain import grid as tgrid
 from ..terrain import patch as tpatch
 from ..terrain.generator import Terrain
-from . import planner, rewards as rew_mod
+from . import pallas_planner as pplanner, planner, rewards as rew_mod
 from .config import TaskCfg
 
 
@@ -636,10 +636,26 @@ class LeggedEnv:
         # ---- DTC foothold planner (dtc.py:100-204) --------------------------
         if cfg.use_dtc_planner and cfg.terrain.measure_heights:
             hips = jnp.transpose(info["thigh_pos"], (2, 0, 1))
-            plan = planner.plan_footholds(
-                cfg, base_pos, base_quat, base_lin_vel, commands, hips,
-                measured_heights, self.height_points,
-                cfg.terrain.measured_points_x, cfg.terrain.measured_points_y)
+            # fused scoring kernel (env/pallas_planner.py) on the kernel
+            # path: one VMEM pass instead of the XLA (N,693)/(N,4,693)
+            # intermediate chain.  Debug viz needs the full score tensor,
+            # so it stays on the XLA planner.  DTC_PALLAS_PLANNER=0 for A/B.
+            use_planner_kernel = (
+                bool(info.get("use_kernel")) and not cfg.env.debug_viz
+                and os.environ.get("DTC_PALLAS_PLANNER", "1") != "0")
+            if use_planner_kernel:
+                plan = pplanner.plan_footholds_fused(
+                    cfg, base_pos, base_quat, base_lin_vel, commands, hips,
+                    measured_heights, self.height_points,
+                    cfg.terrain.measured_points_x,
+                    cfg.terrain.measured_points_y,
+                    interpret=self._pallas_interpret)
+            else:
+                plan = planner.plan_footholds(
+                    cfg, base_pos, base_quat, base_lin_vel, commands, hips,
+                    measured_heights, self.height_points,
+                    cfg.terrain.measured_points_x,
+                    cfg.terrain.measured_points_y)
             foothold_obs = plan["foothold_obs"]
             optimal_footholds_world = plan["optimal_footholds_world"]
             debug = (dict(heights_world=plan["heights_world"],

@@ -98,7 +98,8 @@ def lite3_dtc():
     )
     train = TrainCfg(runner=RunnerCfg(experiment_name="lite3_dtc",
                                       max_iterations=20000),
-                     algorithm=AlgorithmCfg(entropy_coef=0.003))
+                     algorithm=AlgorithmCfg(entropy_coef=0.003,
+                                            minibatch_perm_granule=16))
     return task, train
 
 
@@ -195,7 +196,8 @@ def x30_dtc():
     )
     train = TrainCfg(runner=RunnerCfg(experiment_name="x30_dtc",
                                       max_iterations=30000),
-                     algorithm=AlgorithmCfg(entropy_coef=0.01))
+                     algorithm=AlgorithmCfg(entropy_coef=0.01,
+                                            minibatch_perm_granule=16))
     return task, train
 
 

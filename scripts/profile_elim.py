@@ -74,6 +74,15 @@ def main():
     p2, s2 = env2.init(key)
     timed("no-planner", scan_fn(env2, T), p2, s2, key, steps=T)
 
+    # XLA planner instead of the fused scoring kernel
+    os.environ["DTC_PALLAS_PLANNER"] = "0"
+    try:
+        env2b = make_env()
+        p2b, s2b = env2b.init(key)
+        timed("xla-planner", scan_fn(env2b, T), p2b, s2b, key, steps=T)
+    finally:
+        os.environ.pop("DTC_PALLAS_PLANNER", None)
+
     # rewards zeroed (one zeros vector; termination kept for resets)
     orig_cr = rw.compute_rewards
     def zero_cr(names, sdt, ctx, op, tdt):

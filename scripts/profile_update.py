@@ -65,9 +65,30 @@ def main():
           runner.vae_opt_state, runner.learning_rate, batch,
           jax.random.PRNGKey(1))
 
-    # 1-epoch variant: separates per-minibatch cost from fixed overhead
     import dataclasses as dc
     from deep_tracking_control_tpu.agent.ppo import PPO
+
+    # granule ablation: exact per-row shuffle (G=1) vs the configured cap
+    g_now = ppo.alg.minibatch_perm_granule
+    for g in sorted({1, 16, 64, g_now}):
+        ppog = PPO(net=ppo.net,
+                   alg=dc.replace(ppo.alg, minibatch_perm_granule=g),
+                   policy_kind=ppo.policy_kind)
+        updg = jax.jit(lambda p, o, v, lr, b, k, _pg=ppog:
+                       _pg.update(p, o, v, lr, b, k))
+        timed(f"update G={g}", updg, runner.params, runner.opt_state,
+              runner.vae_opt_state, runner.learning_rate, batch,
+              jax.random.PRNGKey(1))
+
+    # latent_var outlier-filter ablation: exact median vs masked mean
+    net_mean = ppo.net.clone(outlier_filter="mean")
+    ppom = PPO(net=net_mean, alg=ppo.alg, policy_kind=ppo.policy_kind)
+    updm = jax.jit(lambda p, o, v, lr, b, k: ppom.update(p, o, v, lr, b, k))
+    timed("update mean", updm, runner.params, runner.opt_state,
+          runner.vae_opt_state, runner.learning_rate, batch,
+          jax.random.PRNGKey(1))
+
+    # 1-epoch variant: separates per-minibatch cost from fixed overhead
     ppo1 = PPO(net=ppo.net, alg=dc.replace(ppo.alg, num_learning_epochs=1),
                policy_kind=ppo.policy_kind)
     upd1 = jax.jit(lambda p, o, v, lr, b, k: ppo1.update(p, o, v, lr, b, k))

@@ -108,6 +108,29 @@ def test_update_changes_params_and_adapts_lr():
         assert np.isfinite(float(stats[k])), k
 
 
+def test_update_with_perm_granule():
+    """Group-granule shuffle (minibatch_perm_granule > 1) runs the same
+    update pipeline: params move, stats stay finite, and the adaptive LR
+    stays in the clamp band.  Granule caps that don't divide the minibatch
+    size degrade via gcd (here mb=16, granule 8 -> effective 8)."""
+    net, params, batch = _tiny_net_and_batch(T=8, N=4)
+    alg = AlgorithmCfg(num_learning_epochs=2, num_mini_batches=2,
+                       minibatch_perm_granule=8)
+    ppo = PPO(net=net, alg=alg)
+    main_opt, vae_opt = make_optimizers(alg)
+    opt_state = main_opt.init(params)
+    vae_opt_state = vae_opt.init(params)
+    new_params, _, _, new_lr, stats = jax.jit(ppo.update)(
+        params, opt_state, vae_opt_state, jnp.asarray(alg.learning_rate),
+        batch, jax.random.PRNGKey(2))
+    diff = max(float(jnp.max(jnp.abs(a - b))) for a, b in
+               zip(jax.tree.leaves(params), jax.tree.leaves(new_params)))
+    assert diff > 0 and np.isfinite(diff)
+    assert 1e-5 <= float(new_lr) <= 1e-2
+    for k in ("value_loss", "surrogate_loss", "kl"):
+        assert np.isfinite(float(stats[k])), k
+
+
 def test_vae_optimizer_only_touches_vae():
     """The VAE step must not move actor/critic params (ppo.py:79 scoping)."""
     net, params, batch = _tiny_net_and_batch(T=2, N=2)
@@ -198,6 +221,12 @@ def test_masked_median_exact():
         sub = np.sort(x[valid])
         want = float(sub[(len(sub) - 1) // 2])   # torch lower-middle
         assert got == want, (n, frac, got, want)
+    # extreme magnitudes exercise the full uint32 key range of the
+    # multiway bisection (thresholds near the range ends, cap at hi)
+    ext = np.array([-3.4e38, -1e-38, -0.0, 0.0, 1e-38, 1.0, 3.4e38,
+                    2.0, -7.5], dtype=np.float32)
+    got = float(fn(jnp.asarray(ext), jnp.ones(len(ext), bool)))
+    assert got == float(np.sort(ext)[(len(ext) - 1) // 2])
     # gradient flows to exactly one selected element (torch assignment
     # semantics) and is finite
     x = jnp.asarray(rng.normal(size=64).astype(np.float32))

@@ -163,9 +163,11 @@ class PPO:
         nmb = alg.num_mini_batches
         mb_envs = N // nmb
         k_perm, k_upd = jax.random.split(key)
-        perm = jax.random.permutation(k_perm, N)
-        idx = jnp.tile(perm[:nmb * mb_envs].reshape(nmb, mb_envs),
-                       (alg.num_learning_epochs, 1))
+        # a FRESH env permutation per epoch (reccurent_mini_batch_generator
+        # draws randperm inside the epoch loop, rollout_storage.py:224)
+        idx = jnp.concatenate([
+            jax.random.permutation(k, N)[:nmb * mb_envs].reshape(nmb, mb_envs)
+            for k in jax.random.split(k_perm, alg.num_learning_epochs)])
 
         def minibatch_step(carry, xs):
             params, opt_state, lr = carry
@@ -264,11 +266,15 @@ class PPO:
         # with the minibatch size so tiny test batches stay valid
         G = math.gcd(max(int(alg.minibatch_perm_granule), 1), mb_size)
         perm = jax.random.permutation(k_perm, total // G)[:nmb * mb_size // G]
-        use_dma = (os.environ.get("DTC_PALLAS_GATHER", "1") != "0"
+        # Measured on v5e at 4096 envs (scripts/profile_update_chain.py):
+        # G=1 XLA 90.2 ms/update, G=16 XLA 82.8, G=16 Pallas DMA 84.8 —
+        # the grouping is the win (wide rows amortize the per-row issue
+        # cost) and XLA's gather on 16-row groups already runs at
+        # bandwidth, so the Pallas kernel (ops/pallas_gather.py) stays
+        # opt-in for A/B (DTC_PALLAS_GATHER=1).
+        use_dma = (os.environ.get("DTC_PALLAS_GATHER", "0") == "1"
                    and jax.default_backend() != "cpu")
         if use_dma:
-            # grouped HBM->HBM DMA gather (ops/pallas_gather.py): XLA's
-            # row gather runs ~5x off bandwidth on these shapes
             from ..ops.pallas_gather import permute_groups
             flat = permute_groups(flat, perm, G)
         else:
@@ -279,6 +285,35 @@ class PPO:
         offsets = jnp.tile(jnp.arange(nmb) * mb_size,
                            alg.num_learning_epochs)
 
+        def pol_terms(mean, std, value, mb):
+            """Surrogate/value/entropy/KL pieces shared by the sequential
+            and fused paths (ppo.py:265-335)."""
+            log_prob = normal_log_prob(mean, std, mb["actions"])
+            ratio = jnp.exp(log_prob - mb["old_log_prob"])
+            adv = mb["advantages"]
+            surr = -adv * ratio
+            surr_clipped = -adv * jnp.clip(ratio, 1.0 - alg.clip_param,
+                                           1.0 + alg.clip_param)
+            surrogate_loss = jnp.mean(jnp.maximum(surr, surr_clipped))
+            if alg.use_clipped_value_loss:                # ppo.py:318-323
+                v_clipped = mb["values"] + jnp.clip(
+                    value - mb["values"], -alg.clip_param, alg.clip_param)
+                v_loss = jnp.maximum(jnp.square(value - mb["returns"]),
+                                     jnp.square(v_clipped - mb["returns"]))
+                value_loss = jnp.mean(v_loss)
+            else:
+                value_loss = jnp.mean(jnp.square(mb["returns"] - value))
+            entropy = jnp.mean(normal_entropy(std))
+            loss = (surrogate_loss + alg.value_loss_coef * value_loss
+                    - alg.entropy_coef * entropy)
+            # adaptive-KL statistic (ppo.py:295-299)
+            kl = jnp.sum(
+                jnp.log(std / mb["old_sigma"] + 1e-5)
+                + (jnp.square(mb["old_sigma"])
+                   + jnp.square(mb["old_mu"] - mean))
+                / (2.0 * jnp.square(std)) - 0.5, axis=-1)
+            return loss, surrogate_loss, value_loss, entropy, jnp.mean(kl)
+
         def minibatch_step(carry, xs):
             params, opt_state, vae_opt_state, lr = carry
             start, k = xs
@@ -287,61 +322,68 @@ class PPO:
                 flat)
             k_vae, k_pol = jax.random.split(k)
 
-            if self.policy_kind == "decoder":
-                # ---- VAE step (ppo.py:197-254)
-                def vae_loss_fn(p):
-                    recons, vel, kld, height = self.net.apply(
-                        p, mb["obs_history"], mb["privileged_obs"],
-                        mb["next_obs"], mb["base_vel"], k_vae,
-                        method=self.net.vae_losses)
-                    loss = recons + vel + alg.kld_weight * kld + height
-                    return loss, (recons, vel, kld, height)
+            if self.policy_kind == "decoder" and alg.fused_joint_step:
+                # ---- fused VAE+policy step: one shared encoder forward,
+                # two cotangent passes routed to the two optimizers
+                # (AlgorithmCfg.fused_joint_step; PARITY.md)
+                def joint(p):
+                    (recons, vel, kld, height), mean, std, value = \
+                        self.net.apply(
+                            p, mb["obs"], mb["obs_history"],
+                            mb["privileged_obs"], mb["next_obs"],
+                            mb["base_vel"], k_vae, k_pol,
+                            method=self.net.joint_forward)
+                    vae_loss = recons + vel + alg.kld_weight * kld + height
+                    loss, surr_l, val_l, ent, kl_mean = pol_terms(
+                        mean, std, value, mb)
+                    return (vae_loss, loss), (surr_l, val_l, ent, kl_mean,
+                                              recons, vel, kld, height)
 
-                (vae_loss, (recons_l, vel_l, kld_l, height_l)), vae_grads = \
-                    jax.value_and_grad(vae_loss_fn, has_aux=True)(params)
+                _, vjp_fn, aux = jax.vjp(joint, params, has_aux=True)
+                one = jnp.ones(())
+                zero_ = jnp.zeros(())
+                (vae_grads,) = vjp_fn((one, zero_))
+                (grads,) = vjp_fn((zero_, one))
+                (surr_l, val_l, ent, kl_mean,
+                 recons_l, vel_l, kld_l, height_l) = aux
                 vae_updates, vae_opt_state = vae_opt.update(
                     vae_grads, vae_opt_state, params)
-                # only vae-subtree grads are nonzero; apply directly
                 params = optax.apply_updates(params, mask_non_vae(vae_updates))
             else:
-                zero = jnp.zeros(())
-                recons_l = vel_l = kld_l = height_l = zero
+                if self.policy_kind == "decoder":
+                    # ---- VAE step (ppo.py:197-254)
+                    def vae_loss_fn(p):
+                        recons, vel, kld, height = self.net.apply(
+                            p, mb["obs_history"], mb["privileged_obs"],
+                            mb["next_obs"], mb["base_vel"], k_vae,
+                            method=self.net.vae_losses)
+                        loss = recons + vel + alg.kld_weight * kld + height
+                        return loss, (recons, vel, kld, height)
 
-            # ---- policy step (ppo.py:265-335)
-            def pol_loss_fn(p):
-                mean, std = self._stats(p, mb["obs"], mb["obs_history"],
-                                        mb["privileged_obs"], k_pol)
-                log_prob = normal_log_prob(mean, std, mb["actions"])
-                value = self._value(p, mb["obs"], mb["privileged_obs"],
-                                    mb["base_vel"])
-                ratio = jnp.exp(log_prob - mb["old_log_prob"])
-                adv = mb["advantages"]
-                surr = -adv * ratio
-                surr_clipped = -adv * jnp.clip(ratio, 1.0 - alg.clip_param,
-                                               1.0 + alg.clip_param)
-                surrogate_loss = jnp.mean(jnp.maximum(surr, surr_clipped))
-                if alg.use_clipped_value_loss:                # ppo.py:318-323
-                    v_clipped = mb["values"] + jnp.clip(
-                        value - mb["values"], -alg.clip_param, alg.clip_param)
-                    v_loss = jnp.maximum(jnp.square(value - mb["returns"]),
-                                         jnp.square(v_clipped - mb["returns"]))
-                    value_loss = jnp.mean(v_loss)
+                    (vae_loss, (recons_l, vel_l, kld_l, height_l)), \
+                        vae_grads = jax.value_and_grad(
+                            vae_loss_fn, has_aux=True)(params)
+                    vae_updates, vae_opt_state = vae_opt.update(
+                        vae_grads, vae_opt_state, params)
+                    # only vae-subtree grads are nonzero; apply directly
+                    params = optax.apply_updates(params,
+                                                 mask_non_vae(vae_updates))
                 else:
-                    value_loss = jnp.mean(jnp.square(mb["returns"] - value))
-                entropy = jnp.mean(normal_entropy(std))
-                loss = (surrogate_loss + alg.value_loss_coef * value_loss
-                        - alg.entropy_coef * entropy)
-                # adaptive-KL statistic (ppo.py:295-299)
-                kl = jnp.sum(
-                    jnp.log(std / mb["old_sigma"] + 1e-5)
-                    + (jnp.square(mb["old_sigma"])
-                       + jnp.square(mb["old_mu"] - mean))
-                    / (2.0 * jnp.square(std)) - 0.5, axis=-1)
-                return loss, (surrogate_loss, value_loss, entropy,
-                              jnp.mean(kl))
+                    zero = jnp.zeros(())
+                    recons_l = vel_l = kld_l = height_l = zero
 
-            (loss, (surr_l, val_l, ent, kl_mean)), grads = \
-                jax.value_and_grad(pol_loss_fn, has_aux=True)(params)
+                # ---- policy step (ppo.py:265-335)
+                def pol_loss_fn(p):
+                    mean, std = self._stats(p, mb["obs"], mb["obs_history"],
+                                            mb["privileged_obs"], k_pol)
+                    value = self._value(p, mb["obs"], mb["privileged_obs"],
+                                        mb["base_vel"])
+                    loss, surr_l, val_l, ent, kl_mean = pol_terms(
+                        mean, std, value, mb)
+                    return loss, (surr_l, val_l, ent, kl_mean)
+
+                (loss, (surr_l, val_l, ent, kl_mean)), grads = \
+                    jax.value_and_grad(pol_loss_fn, has_aux=True)(params)
 
             # adaptive learning rate (ppo.py:300-307)
             if alg.schedule == "adaptive" and alg.desired_kl is not None:

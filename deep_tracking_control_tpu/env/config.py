@@ -326,6 +326,15 @@ class AlgorithmCfg:
     # commands / phases), but the TPU row gather shrinks from T*N tiny
     # transfers to T*N/G large ones.  Deviation documented in PARITY.md.
     minibatch_perm_granule: int = 1
+    # Fused VAE+policy minibatch step (decoder policy only).  False = the
+    # reference's sequential semantics: VAE loss f/b, VAE optimizer step,
+    # then the policy f/b re-runs the (updated) cenet/terrain encoders
+    # (ppo.py:197-254 then :265).  True = ONE shared encoder forward feeds
+    # both heads and both grads are taken at the pre-VAE-step params
+    # (Jacobi- instead of Gauss-Seidel-ordered optimizer pair); the two
+    # optimizers and their routing stay exactly as in the reference.
+    # Deviation + A/B evidence in PARITY.md "Known deviations".
+    fused_joint_step: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

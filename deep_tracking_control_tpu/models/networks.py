@@ -167,6 +167,15 @@ class Vae(nn.Module):
     def cenet_forward(self, obs_history, rng):
         """(mu(19), logvar(16), z(16)) with the latent_var outlier->median
         filter (:286-302)."""
+        mu, logvar = self.cenet_stats(obs_history)
+        z = self.reparam(mu, logvar, rng)
+        return mu, logvar, z
+
+    def cenet_stats(self, obs_history):
+        """Deterministic encoder half of cenet_forward: (mu, filtered
+        logvar) without the reparameterized sample, so a joint VAE+policy
+        forward can run the encoder (and the outlier filter) ONCE and draw
+        two independent z samples from the shared stats."""
         e = self.cenet_encoder(obs_history)
         mu = self.latent_mu(e)
         logvar = self.latent_var(e)
@@ -186,10 +195,13 @@ class Vae(nn.Module):
             center = (jnp.sum(jnp.where(valid, logvar, 0.0))
                       / jnp.maximum(jnp.sum(valid), 1))
         logvar = jnp.where(outliers, center, logvar)
+        return mu, logvar
+
+    def reparam(self, mu, logvar, rng):
+        """Reparameterized sample z ~ N(mu[3:], exp(logvar)) (:274-284)."""
         std = jnp.exp(0.5 * logvar)
         eps = jax.random.normal(rng, std.shape, dtype=std.dtype)
-        z = mu[..., 3:] + eps * std                      # reparameterize (:274-284)
-        return mu, logvar, z
+        return mu[..., 3:] + eps * std
 
     def encode_terrain(self, heights):
         return self.terrain_encoder(heights)
@@ -290,6 +302,42 @@ class ActorCriticDecoder(nn.Module):
         kld = jnp.mean(-0.5 * jnp.sum(
             1 + logvar - jnp.square(mu[..., 3:]) - jnp.exp(logvar), axis=-1))
         return recons_loss, vel_loss, kld, height_loss
+
+    def joint_forward(self, obs, obs_history, privileged_obs, next_obs,
+                      base_vel, k_vae, k_pol):
+        """One shared forward for the fused VAE+policy minibatch step
+        (AlgorithmCfg.fused_joint_step; PARITY.md "Known deviations").
+
+        The sequential reference update (ppo.py:197-254 then :265) runs
+        cenet_forward + encode_terrain TWICE per minibatch — once inside
+        the VAE loss, once inside update_distribution — with a VAE
+        optimizer step in between.  Here both heads read ONE encoder
+        forward (and one outlier-filter pass); the VAE and policy losses
+        still get independent z draws (k_vae / k_pol), matching the
+        reference's two reparameterized samples.
+
+        Returns (vae_parts, mean, std, value) where vae_parts =
+        (recons_loss, vel_loss, kld, height_loss)."""
+        td = self.terrain_dim
+        mu, logvar = self.vae.cenet_stats(obs_history)
+        l_t = self.vae.encode_terrain(privileged_obs[..., :td])
+        # ---- VAE head (vae_losses)
+        z_v = self.vae.reparam(mu, logvar, k_vae)
+        recons = self.vae.decode_cenet(z_v, mu[..., :3], l_t)
+        recons_loss = jnp.mean(jnp.mean(jnp.square(recons - next_obs),
+                                        axis=-1))
+        height_recon = self.vae.decode_terrain(l_t)
+        height_loss = jnp.mean(jnp.square(height_recon
+                                          - privileged_obs[..., td + 3:]))
+        vel_loss = jnp.mean(jnp.square(mu[..., :3] - base_vel))
+        kld = jnp.mean(-0.5 * jnp.sum(
+            1 + logvar - jnp.square(mu[..., 3:]) - jnp.exp(logvar), axis=-1))
+        # ---- policy head (act_stats, :431)
+        z_p = self.vae.reparam(mu, logvar, k_pol)
+        mean = self.actor_body(_bf16_concat(obs, z_p, mu[..., :3], l_t))
+        std = jnp.broadcast_to(self.std, mean.shape)
+        value = self.evaluate(obs, privileged_obs, base_vel)
+        return (recons_loss, vel_loss, kld, height_loss), mean, std, value
 
 
 class ActorCritic(nn.Module):

@@ -245,3 +245,74 @@ def test_outlier_filter_median_vs_mean_paths():
         params = vae.init(key, hist, key)
         mu, logvar, z = vae.apply(params, hist, key)
         assert np.all(np.isfinite(np.asarray(logvar)))
+
+
+def test_joint_forward_matches_separate_passes():
+    """joint_forward (the fused-step forward) must reproduce vae_losses,
+    act_stats, and evaluate bit-for-bit given the same two RNG keys — the
+    fusion shares the encoder, it does not change any math."""
+    net, params, batch = _tiny_net_and_batch(T=2, N=4)
+    obs = batch["obs"][0]
+    oh = batch["obs_history"][0]
+    po = batch["privileged_obs"][0]
+    nobs = batch["next_obs"][0]
+    bv = batch["base_vel"][0]
+    kv, kp = jax.random.split(jax.random.PRNGKey(3))
+    vae_parts, mean, std, value = net.apply(
+        params, obs, oh, po, nobs, bv, kv, kp, method=net.joint_forward)
+    ref_parts = net.apply(params, oh, po, nobs, bv, kv,
+                          method=net.vae_losses)
+    ref_mean, ref_std, _, _ = net.apply(params, obs, oh, po, kp,
+                                        method=net.act_stats)
+    ref_value = net.apply(params, obs, po, bv, method=net.evaluate)
+    for a, b in zip(vae_parts, ref_parts):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(ref_mean),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(std), np.asarray(ref_std))
+    np.testing.assert_allclose(np.asarray(value), np.asarray(ref_value),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_fused_joint_step_close_to_sequential():
+    """fused_joint_step=True takes both grads at the pre-VAE-step params
+    (Jacobi ordering) instead of re-running the policy forward after the
+    VAE optimizer step (Gauss-Seidel, the reference).  The resulting
+    one-update param drift must be far smaller than the update itself,
+    and the VAE subtree must move identically when the main opt is frozen.
+    """
+    net, params, batch = _tiny_net_and_batch(T=4, N=4)
+    key = jax.random.PRNGKey(7)
+
+    def run(fused, lr=None, schedule="adaptive"):
+        alg = AlgorithmCfg(num_learning_epochs=2, num_mini_batches=2,
+                           fused_joint_step=fused,
+                           **({"learning_rate": lr, "schedule": schedule}
+                              if lr is not None else {}))
+        ppo = PPO(net=net, alg=alg)
+        main_opt, vae_opt = make_optimizers(alg)
+        new_params, _, _, new_lr, stats = jax.jit(ppo.update)(
+            params, main_opt.init(params), vae_opt.init(params),
+            jnp.asarray(alg.learning_rate), batch, key)
+        return new_params, new_lr, stats
+
+    p_seq, lr_seq, s_seq = run(False)
+    p_fus, lr_fus, s_fus = run(True)
+    for k in ("value_loss", "surrogate_loss", "recons_loss", "vel_loss",
+              "kld_loss", "height_loss", "kl"):
+        assert np.isfinite(float(s_fus[k])), k
+    norm = lambda t: float(sum(jnp.sum(jnp.square(a))
+                               for a in jax.tree.leaves(t)) ** 0.5)
+    tsub = lambda a, b: jax.tree.map(lambda x, y: x - y, a, b)
+    upd = norm(tsub(p_seq, params))
+    drift = norm(tsub(p_fus, p_seq))
+    assert upd > 0
+    assert drift < 0.5 * upd, (drift, upd)
+    # frozen main opt: the VAE subtree step is bit-compatible between the
+    # two orderings (same params, same k_vae -> same grads)
+    p_seq0, _, _ = run(False, lr=0.0, schedule="fixed")
+    p_fus0, _, _ = run(True, lr=0.0, schedule="fixed")
+    for a, b in zip(jax.tree.leaves(p_seq0["params"]["vae"]),
+                    jax.tree.leaves(p_fus0["params"]["vae"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)

@@ -752,11 +752,32 @@ class LeggedEnv:
             reset_buf=reset_buf, time_out_buf=time_out_buf,
             updates={},
         )
-        rew_buf, per_term = rew_mod.compute_rewards(
-            self.reward_names, self.reward_scales_dt, ctx,
-            cfg.rewards.only_positive_rewards, self.termination_scale_dt)
-        episode_sums = state["episode_sums"] + jnp.stack(
-            [per_term[n] for n in self.episode_sum_names])
+        # fused rewards kernel (env/pallas_rewards.py): every active term,
+        # the positive clip, the termination term, the (K, N) episode-sum
+        # accumulate, and the stateful buffer updates in ONE launch
+        # (the XLA path lowers to dozens of small outer fusions).
+        # DTC_PALLAS_REWARDS=0 falls back for A/B runs.  (Opt-in until the
+        # on-device parity run lands — flip the default to "1" with the
+        # recorded verify_kernels_tpu pass.)
+        use_rewards_kernel = (
+            bool(info.get("use_kernel"))
+            and os.environ.get("DTC_PALLAS_REWARDS", "0") != "0"
+            and N % 128 == 0
+            and len(self.feet_idx) == 4)
+        if use_rewards_kernel:
+            from . import pallas_rewards as prw
+            rew_buf, episode_sums, upd = prw.compute_rewards_fused(
+                self.reward_names, self.reward_scales_dt, ctx,
+                cfg.rewards.only_positive_rewards,
+                self.termination_scale_dt, self.episode_sum_names,
+                state["episode_sums"], interpret=self._pallas_interpret)
+            ctx["updates"] = upd
+        else:
+            rew_buf, per_term = rew_mod.compute_rewards(
+                self.reward_names, self.reward_scales_dt, ctx,
+                cfg.rewards.only_positive_rewards, self.termination_scale_dt)
+            episode_sums = state["episode_sums"] + jnp.stack(
+                [per_term[n] for n in self.episode_sum_names])
 
         # ---- masked reset (legged_robot.py:200-272) -------------------------
         mid_state = {**state,

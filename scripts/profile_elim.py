@@ -83,7 +83,17 @@ def main():
     finally:
         os.environ.pop("DTC_PALLAS_PLANNER", None)
 
-    # rewards zeroed (one zeros vector; termination kept for resets)
+    # XLA reward stack instead of the fused kernel
+    os.environ["DTC_PALLAS_REWARDS"] = "0"
+    try:
+        env2c = make_env()
+        p2c, s2c = env2c.init(key)
+        timed("xla-rewards", scan_fn(env2c, T), p2c, s2c, key, steps=T)
+    finally:
+        os.environ.pop("DTC_PALLAS_REWARDS", None)
+
+    # rewards zeroed (one zeros vector; termination kept for resets) —
+    # forces the XLA path so the monkeypatch actually eliminates the work
     orig_cr = rw.compute_rewards
     def zero_cr(names, sdt, ctx, op, tdt):
         z = jnp.zeros_like(ctx["root_z"])
@@ -92,12 +102,14 @@ def main():
             pt["termination"] = z
         return z, pt
     rw.compute_rewards = zero_cr
+    os.environ["DTC_PALLAS_REWARDS"] = "0"
     try:
         env3 = make_env()
         p3, s3 = env3.init(key)
         timed("no-rewards", scan_fn(env3, T), p3, s3, key, steps=T)
     finally:
         rw.compute_rewards = orig_cr
+        os.environ.pop("DTC_PALLAS_REWARDS", None)
 
     # resets identity
     orig_ar = le.LeggedEnv._apply_reset

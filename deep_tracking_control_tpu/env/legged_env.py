@@ -161,6 +161,22 @@ class LeggedEnv:
         self.num_envs = cfg.env.num_envs
         self.num_obs_history = cfg.env.num_observation_history * self.num_obs
         self.max_episode_length = cfg.max_episode_length
+        # 45- vs 53-dim obs layout: the DTC layout appends the 8-dim
+        # foothold block (dtc.py:269, foothold_obs); the non-DTC tasks use
+        # 45 (lite3_rough_config.py:8) without it.  (The reference's
+        # committed 45-dim path is actually broken — base
+        # compute_observations reads the subclass-only self.foothold_obs,
+        # legged_robot.py:353 — here 45 simply omits the block.)
+        base_w = 9 + 2 * self.model.nq + self.num_actions
+        if self.num_obs == base_w + 8:
+            self._obs_has_foothold = True
+        elif self.num_obs == base_w:
+            self._obs_has_foothold = False
+        else:
+            raise ValueError(
+                f"num_observations={self.num_obs} matches neither the "
+                f"{base_w}-dim base layout nor the {base_w + 8}-dim DTC "
+                f"layout")
 
         # fused Pallas decimation kernel (physics/pallas_substep.py): used on
         # TPU for quadruped models on heightfield terrain; the XLA path stays
@@ -1047,15 +1063,17 @@ class LeggedEnv:
         os_ = cfg.normalization.obs_scales
         dof_pos = state["phys"]["q"].T
         dof_vel = state["phys"]["qd"].T
-        obs = jnp.concatenate([
+        parts = [
             base_ang_vel * os_.ang_vel,
             projected_gravity,
             state["commands"][:, :3] * jnp.asarray(self.commands_scale),
             (dof_pos - jnp.asarray(self.default_dof_pos)[None, :]) * os_.dof_pos,
             dof_vel * os_.dof_vel,
             state["actions"],
-            state["foothold_obs"],
-        ], axis=1)
+        ]
+        if self._obs_has_foothold:          # 53-dim DTC layout (dtc.py:269)
+            parts.append(state["foothold_obs"])
+        obs = jnp.concatenate(parts, axis=1)
 
         heights = jnp.clip(
             base_pos[:, 2:3] - cfg.rewards.base_height_target - measured_heights,

@@ -106,15 +106,18 @@ def lite3_dtc():
 def lite3_rough():
     """Lite3 rough-terrain task (lite3_rough_config.py).
 
-    NOTE: as committed the reference's non-DTC tasks are stale (base
-    compute_observations reads self.foothold_obs which only the DTC subclass
-    defines, legged_robot.py:353 / SURVEY.md quirks) — here the same 53-d
-    obs layout is used with a zeroed foothold block, keeping them runnable.
+    Uses the reference's 45-dim obs layout (lite3_rough_config.py:8) —
+    the 53-dim DTC layout minus the 8-dim foothold block.  (As committed
+    the reference's own 45-dim path is stale — base compute_observations
+    reads the subclass-only self.foothold_obs, legged_robot.py:353 /
+    SURVEY.md quirks — here 45 simply omits the block, keeping the task
+    runnable.)
     """
     task, train = lite3_dtc()
     task = dataclasses.replace(
         task,
-        env=dataclasses.replace(task.env, num_envs=2048),
+        env=dataclasses.replace(task.env, num_envs=2048,
+                                num_observations=45),
         terrain=dataclasses.replace(task.terrain, num_rows=10, num_cols=10,
                                     terrain_proportions=(0.1, 0.1, 0.35, 0.25, 0.2)),
         rewards=dataclasses.replace(task.rewards, scales=RewardScales(

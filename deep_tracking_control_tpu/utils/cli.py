@@ -5,8 +5,11 @@ import argparse
 import dataclasses
 
 
-def get_args(argv=None):
-    """Flag set mirroring get_args (helpers.py:122-148)."""
+def get_args(argv=None, extra=()):
+    """Flag set mirroring get_args (helpers.py:122-148).
+
+    extra: optional [(args_list, kwargs_dict), ...] of script-specific
+    flags (e.g. scripts/teleop.py --zero_policy)."""
     p = argparse.ArgumentParser(description="RL Policy (TPU-native DTC)")
     p.add_argument("--task", type=str, default="lite3_dtc")
     p.add_argument("--resume", action="store_true", default=False)
@@ -26,6 +29,8 @@ def get_args(argv=None):
     p.add_argument("--render", action="store_true", default=False)
     p.add_argument("--render_path", type=str, default="render.gif")
     p.add_argument("--render_steps", type=int, default=300)
+    for a, kw in extra:
+        p.add_argument(*a, **kw)
     return p.parse_args(argv)
 
 

@@ -79,7 +79,8 @@ def play(args, steps: int = 1000):
             ))
         if i % 10 == 0:
             cmd = np.asarray(state["commands"][0])
-            vel = np.asarray(out["base_vel"][0]) / 2.0   # undo lin_vel scale
+            vel = (np.asarray(out["base_vel"][0])
+                   / task_cfg.normalization.obs_scales.lin_vel)
             z = float(state["phys"]["pos"][2, 0])
             print(f"step {i:5d} cmd=({cmd[0]:+.2f},{cmd[1]:+.2f}) "
                   f"vel=({vel[0]:+.2f},{vel[1]:+.2f}) z={z:+.3f}")

@@ -187,6 +187,11 @@ class LeggedEnv:
             and self.patch_src is not None
             and quadruped.quad_layout(self.model) is not None
             and cfg.sim.substeps == 1)
+        # big per-step noise draws from the TPU HW PRNG (ops/pallas_rng.py)
+        # instead of XLA threefry.  Opt-in (DTC_PALLAS_RNG=1) until the
+        # on-device A/B flips the default; noise STREAM differs from the
+        # XLA path (documented there + PARITY.md).
+        self._pallas_rng = os.environ.get("DTC_PALLAS_RNG", "0") != "0"
         self._pallas_interpret = False     # tests flip this to run on CPU
 
     # ------------------------------------------------------------------
@@ -1079,8 +1084,16 @@ class LeggedEnv:
             base_pos[:, 2:3] - cfg.rewards.base_height_target - measured_heights,
             -1.0, 1.0) * os_.height_measurements                 # dtc.py:275
         k1, k2 = jax.random.split(key)
+        use_hw_rng = self._pallas_rng and (
+            self._pallas_interpret or jax.default_backend() != "cpu")
+        if use_hw_rng:
+            from ..ops import pallas_rng
+            height_noise = pallas_rng.uniform_pm1(
+                k1, heights.shape, interpret=self._pallas_interpret)
+        else:
+            height_noise = _uniform(k1, heights.shape, -1.0, 1.0)
         noisy_heights = (heights
-                         + _uniform(k1, heights.shape, -1.0, 1.0) * 0.1
+                         + height_noise * 0.1
                          + state["height_noise_offset"][:, None])
         privileged = jnp.concatenate([
             noisy_heights,
@@ -1089,8 +1102,13 @@ class LeggedEnv:
         ], axis=1)
 
         if cfg.noise.add_noise:                                  # dtc.py:284-287
-            obs = obs + (_uniform(k2, obs.shape, -1.0, 1.0)
-                         * jnp.asarray(self.noise_scale_vec)[None, :])
+            if use_hw_rng:
+                from ..ops import pallas_rng
+                obs_noise = pallas_rng.uniform_pm1(
+                    k2, obs.shape, interpret=self._pallas_interpret)
+            else:
+                obs_noise = _uniform(k2, obs.shape, -1.0, 1.0)
+            obs = obs + obs_noise * jnp.asarray(self.noise_scale_vec)[None, :]
 
         clip_obs = cfg.normalization.clip_observations
         obs = jnp.clip(obs, -clip_obs, clip_obs)                 # step :118-121

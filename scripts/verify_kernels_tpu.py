@@ -97,7 +97,8 @@ def main():
 
     # ---- B: XLA fallbacks ---------------------------------------------
     for v in ("DTC_PALLAS_PHYSICS", "DTC_PALLAS_SAMPLER",
-              "DTC_PALLAS_PLANNER", "DTC_PALLAS_REWARDS"):
+              "DTC_PALLAS_PLANNER", "DTC_PALLAS_REWARDS",
+              "DTC_PALLAS_RNG"):
         os.environ[v] = "0"
     try:
         env_b = build_env(args.num_envs)
@@ -105,7 +106,8 @@ def main():
         short_b, _ = run(env_b, 20, key)
     finally:
         for v in ("DTC_PALLAS_PHYSICS", "DTC_PALLAS_SAMPLER",
-                  "DTC_PALLAS_PLANNER", "DTC_PALLAS_REWARDS"):
+                  "DTC_PALLAS_PLANNER", "DTC_PALLAS_REWARDS",
+                  "DTC_PALLAS_RNG"):
             os.environ.pop(v, None)
 
     # ---- 1. short horizon: stepwise means track closely ----------------
@@ -125,6 +127,25 @@ def main():
           float(np.mean(stats_b["done"])),
           max(0.05 * args.num_envs / 1024, 0.05 + 0.1 * float(
               np.mean(stats_b["done"]))))
+
+    # ---- 3. HW PRNG distribution gate (ops/pallas_rng.py) --------------
+    # The noise STREAM deviates from threefry by design; gate the
+    # distribution itself: mean ~0, var ~1/3 (uniform [-1,1)), key and
+    # tile decorrelation.  Interpret mode stubs the PRNG, so this only
+    # runs on real hardware.
+    if jax.default_backend() != "cpu":
+        from deep_tracking_control_tpu.ops import pallas_rng
+        u1 = np.asarray(pallas_rng.uniform_pm1(
+            jax.random.PRNGKey(11), (4096, 693)))
+        u2 = np.asarray(pallas_rng.uniform_pm1(
+            jax.random.PRNGKey(12), (4096, 693)))
+        check("hwrng mean", float(u1.mean()), 0.0, 0.01)
+        check("hwrng var", float(u1.var()), 1.0 / 3.0, 0.02, rel=True)
+        check("hwrng key corr", float(np.corrcoef(
+            u1.ravel()[:500000], u2.ravel()[:500000])[0, 1]), 0.0, 0.01)
+        check("hwrng tile corr", float(np.corrcoef(
+            u1[:512].ravel(), u1[512:1024].ravel())[0, 1]), 0.0, 0.01)
+        check("hwrng range", float(np.abs(u1).max()), 1.0, 1e-5)
 
     if failures:
         print(f"PARITY FAIL: {failures}", flush=True)

@@ -134,6 +134,39 @@ def main():
     p6, s6 = env6.init(key)
     timed("no-push", scan_fn(env6, T), p6, s6, key, steps=T)
 
+    # opt-in kernels ON (A/B against "full" with the current defaults)
+    for name, envvars in [
+            ("pallas-rew", {"DTC_PALLAS_REWARDS": "1"}),
+            ("hw-rng", {"DTC_PALLAS_RNG": "1"}),
+            ("rew+rng", {"DTC_PALLAS_REWARDS": "1", "DTC_PALLAS_RNG": "1"}),
+    ]:
+        for k, v in envvars.items():
+            os.environ[k] = v
+        try:
+            env7 = make_env()
+            p7, s7 = env7.init(key)
+            timed(name, scan_fn(env7, T), p7, s7, key, steps=T)
+        finally:
+            for k in envvars:
+                os.environ.pop(k, None)
+
+    # observations stubbed (obs/priv/history frozen): upper-bounds the
+    # whole obs-assembly + noise cost in one number
+    orig_co = le.LeggedEnv._compute_observations
+    def stub_co(self, params, state, base_pos, base_quat, base_lin_vel,
+                base_ang_vel, projected_gravity, measured_heights, key,
+                done):
+        return state, dict(obs=state["obs"],
+                           privileged_obs=state["privileged_obs"],
+                           base_vel=state["base_vel"])
+    le.LeggedEnv._compute_observations = stub_co
+    try:
+        env8 = make_env()
+        p8, s8 = env8.init(key)
+        timed("no-obs", scan_fn(env8, T), p8, s8, key, steps=T)
+    finally:
+        le.LeggedEnv._compute_observations = orig_co
+
 
 if __name__ == "__main__":
     main()

@@ -290,7 +290,11 @@ class Terrain:
         self.tot_rows = cfg.num_rows * lpx + 2 * self.border
         self.tot_cols = cfg.num_cols * wpx + 2 * self.border
 
-        if backend in ("auto", "native"):
+        # the native backend implements the curriculum/randomized layouts
+        # only; selected mode (terrain.py:64-77) always uses the python
+        # generators
+        if backend in ("auto", "native") and not getattr(cfg, "selected",
+                                                         False):
             from .. import native
             out = native.generate_terrain(cfg, seed) if native.available() \
                 else None
@@ -300,6 +304,9 @@ class Terrain:
                 return
             if backend == "native":
                 raise RuntimeError("native terrain backend unavailable")
+        elif backend == "native":
+            raise RuntimeError(
+                "native terrain backend does not implement selected mode")
 
         self.backend = "python"
         rng = np.random.default_rng(seed)

@@ -161,6 +161,32 @@ def test_selected_terrain_mode():
             assert len(levels) > 3 and np.all(np.diff(levels) == step)
 
 
+def test_selected_mode_survives_auto_backend():
+    """Regression: the native backend only implements curriculum/randomized,
+    so backend="auto" must route selected mode to the python generators
+    (it used to silently return the default world, making every
+    stepping-stone eval run on the wrong terrain)."""
+    def cfg_for(stone):
+        return TerrainCfg(num_rows=2, num_cols=2, border_size=2.0,
+                          curriculum=False, selected=True,
+                          selected_terrain_type="stepping_stones_terrain",
+                          selected_terrain_kwargs=(("stone_size", stone),
+                                                   ("stone_distance", 0.06),
+                                                   ("max_height", 0.0),
+                                                   ("platform_size", 1.0),
+                                                   ("depth", -2.0)))
+    t1 = Terrain(cfg_for(0.75), seed=8, backend="auto")
+    t2 = Terrain(cfg_for(0.60), seed=8, backend="auto")
+    assert t1.backend == "python"
+    # stones worlds: gaps at depth -2 m exist, and stone size matters
+    v = cfg_for(0.75).vertical_scale
+    assert t1.height_field_raw.min() == int(-2.0 / v)
+    assert not np.array_equal(t1.height_field_raw, t2.height_field_raw)
+    import pytest
+    with pytest.raises(RuntimeError):
+        Terrain(cfg_for(0.75), seed=8, backend="native")
+
+
 def test_stones_everywhere_wide_tile():
     """width > length takes the column-major fill branch
     (terrain.py:224-238); stones cover the tile, platform stays flat."""

@@ -30,6 +30,10 @@ def main():
     task_cfg, train_cfg = get_cfgs("lite3_dtc")
     task_cfg = dataclasses.replace(
         task_cfg, env=dataclasses.replace(task_cfg.env, num_envs=N))
+    if os.environ.get("BENCH_FUSED_JOINT", "0") == "1":   # A/B hook
+        train_cfg = dataclasses.replace(
+            train_cfg, algorithm=dataclasses.replace(
+                train_cfg.algorithm, fused_joint_step=True))
     env = LeggedEnv(task_cfg, terrain_seed=1)
     runner = OnPolicyRunner(env, train_cfg, log_dir=None)
 

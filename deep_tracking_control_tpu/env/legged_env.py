@@ -192,6 +192,9 @@ class LeggedEnv:
         # on-device A/B flips the default; noise STREAM differs from the
         # XLA path (documented there + PARITY.md).
         self._pallas_rng = os.environ.get("DTC_PALLAS_RNG", "0") != "0"
+        # fused obs-assembly kernel (env/pallas_obs.py), opt-in; subsumes
+        # the HW-RNG draws at the obs site when enabled
+        self._pallas_obs = os.environ.get("DTC_PALLAS_OBS", "0") != "0"
         self._pallas_interpret = False     # tests flip this to run on CPU
 
     # ------------------------------------------------------------------
@@ -1066,6 +1069,27 @@ class LeggedEnv:
         cfg = self.cfg
         N = self.num_envs
         os_ = cfg.normalization.obs_scales
+
+        # fused obs kernel (env/pallas_obs.py): obs concat + noise + height
+        # chain + privileged concat + clips + history roll in one launch,
+        # with both noise draws from the in-kernel HW PRNG.  Opt-in
+        # (DTC_PALLAS_OBS=1) until the on-device A/B flips the default.
+        use_obs_kernel = (self._pallas_obs and cfg.terrain.measure_heights
+                          and (self._pallas_interpret
+                               or jax.default_backend() != "cpu"))
+        if use_obs_kernel:
+            from . import pallas_obs
+            obs, privileged, obs_history = \
+                pallas_obs.compute_observations_fused(
+                    self, state, base_pos, base_ang_vel, projected_gravity,
+                    measured_heights, key,
+                    interpret=self._pallas_interpret)
+            base_vel = base_lin_vel * os_.lin_vel
+            new_state = {**state, "obs": obs, "privileged_obs": privileged,
+                         "obs_history": obs_history, "base_vel": base_vel}
+            return new_state, dict(obs=obs, privileged_obs=privileged,
+                                   base_vel=base_vel)
+
         dof_pos = state["phys"]["q"].T
         dof_vel = state["phys"]["qd"].T
         parts = [

@@ -138,7 +138,9 @@ def main():
     for name, envvars in [
             ("pallas-rew", {"DTC_PALLAS_REWARDS": "1"}),
             ("hw-rng", {"DTC_PALLAS_RNG": "1"}),
+            ("pallas-obs", {"DTC_PALLAS_OBS": "1"}),
             ("rew+rng", {"DTC_PALLAS_REWARDS": "1", "DTC_PALLAS_RNG": "1"}),
+            ("rew+obs", {"DTC_PALLAS_REWARDS": "1", "DTC_PALLAS_OBS": "1"}),
     ]:
         for k, v in envvars.items():
             os.environ[k] = v

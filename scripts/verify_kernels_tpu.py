@@ -4,7 +4,8 @@ The interpret-mode tests (tests/test_pallas_*.py) pin kernel NUMERICS on
 CPU; this script validates the real Mosaic lowering on the live TPU chip:
 it steps the same initial env state through the full env.step pipeline
 with (A) all Pallas kernels enabled and (B) `DTC_PALLAS_PHYSICS=0
-DTC_PALLAS_SAMPLER=0 DTC_PALLAS_PLANNER=0 DTC_PALLAS_REWARDS=0`, then compares
+DTC_PALLAS_SAMPLER=0 DTC_PALLAS_PLANNER=0 DTC_PALLAS_REWARDS=0
+DTC_PALLAS_RNG=0 DTC_PALLAS_OBS=0`, then compares
 
   1. short-horizon state trajectories (20 steps, before chaos amplifies
      the bf16-vs-f32 sampling differences), and
@@ -98,7 +99,7 @@ def main():
     # ---- B: XLA fallbacks ---------------------------------------------
     for v in ("DTC_PALLAS_PHYSICS", "DTC_PALLAS_SAMPLER",
               "DTC_PALLAS_PLANNER", "DTC_PALLAS_REWARDS",
-              "DTC_PALLAS_RNG"):
+              "DTC_PALLAS_RNG", "DTC_PALLAS_OBS"):
         os.environ[v] = "0"
     try:
         env_b = build_env(args.num_envs)
@@ -107,7 +108,7 @@ def main():
     finally:
         for v in ("DTC_PALLAS_PHYSICS", "DTC_PALLAS_SAMPLER",
                   "DTC_PALLAS_PLANNER", "DTC_PALLAS_REWARDS",
-                  "DTC_PALLAS_RNG"):
+                  "DTC_PALLAS_RNG", "DTC_PALLAS_OBS"):
             os.environ.pop(v, None)
 
     # ---- 1. short horizon: stepwise means track closely ----------------

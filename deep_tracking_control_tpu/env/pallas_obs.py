@@ -152,7 +152,8 @@ def compute_observations_fused(env, state, base_pos, base_ang_vel,
         kern,
         grid=(N // tile,),
         in_specs=in_specs,
-        out_specs=[bspec(jnp.zeros((1, s.shape[1]))) for s in out_shapes],
+        out_specs=[pl.BlockSpec((tile, s.shape[1]), lambda i: (i, 0))
+                   for s in out_shapes],
         out_shape=out_shapes,
         interpret=pltpu.InterpretParams() if interpret else False,
     )(*inputs, seed)

@@ -65,7 +65,17 @@ def build(args):
                                   train_cfg.runner.checkpoint)
         print(f"Loading policy from {path}")
         runner.load(path, load_optimizer=False)
-        policy = runner.get_inference_policy(teacher=True)
+        raw = runner.get_inference_policy(teacher=True)
+        if runner.ppo.policy_kind == "recurrent":
+            # carry-threading signature (obs, (ca, cc)) -> adapt to the
+            # session's (obs, obs_history, privileged_obs) interface
+            carry = {"c": (runner.init_carry(env.num_envs),
+                           runner.init_carry(env.num_envs))}
+            def policy(obs, obs_history, privileged_obs):
+                acts, carry["c"] = raw(obs, carry["c"])
+                return acts
+        else:
+            policy = raw
     params, state = runner.env_params, runner.env_state
     return TeleopSession(env, params, state, policy, jax.random.PRNGKey(1),
                          lin_vel_scale=task_cfg.normalization.obs_scales

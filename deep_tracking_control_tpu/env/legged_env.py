@@ -752,11 +752,15 @@ class LeggedEnv:
             lin_vel_x_max=state["command_lin_vel_x"][1],
             ang_vel_yaw_max=cfg.commands.ranges.ang_vel_yaw[1],
             tracking_sigma=cfg.rewards.tracking_sigma,
-            default_dof_pos=default_q_row(self.default_dof_pos),
+            # static per-dof constants stay numpy: the fused rewards kernel
+            # bakes them into its (nq, 6) static block with np.asarray, and
+            # this JAX version traces jnp constants created inside jit
+            # (np.asarray on them raises TracerArrayConversionError).
+            default_dof_pos=np.asarray(self.default_dof_pos)[None, :],
             soft_dof_pos_limits=self.soft_dof_pos_limits,
-            dof_vel_limit=jnp.asarray(self.dof_vel_limits),
+            dof_vel_limit=self.dof_vel_limits,
             soft_dof_vel_limit=cfg.rewards.soft_dof_vel_limit,
-            torque_limit=jnp.asarray(self.torque_limits),
+            torque_limit=self.torque_limits,
             soft_torque_limit=cfg.rewards.soft_torque_limit,
             max_contact_force=cfg.rewards.max_contact_force,
             max_acc=cfg.rewards.max_acc,
@@ -766,10 +770,10 @@ class LeggedEnv:
             last_foot_velocities=state["last_foot_velocities"],
             measured_foot_clearance=measured_foot_clearance,
             measured_heights=measured_heights,
-            plane_pinv=jnp.asarray(self.plane_pinv),
+            plane_pinv=self.plane_pinv,
             pitch_est=state["pitch_est"],
             terrain_levels=state["terrain_levels"],
-            acc_points=jnp.asarray(self.acc_points),
+            acc_points=self.acc_points,
             optimal_footholds_world=optimal_footholds_world,
             root_z=base_pos[:, 2],
             env_origin_z=state["env_origins"][:, 2],
@@ -1149,7 +1153,3 @@ class LeggedEnv:
                      "obs_history": obs_history, "base_vel": base_vel}
         return new_state, dict(obs=obs, privileged_obs=privileged,
                                base_vel=base_vel)
-
-
-def default_q_row(default_dof_pos):
-    return jnp.asarray(default_dof_pos)[None, :]

@@ -42,7 +42,10 @@ from jax.experimental.pallas import tpu as pltpu
 def _uniform_bits(shape):
     bits = pltpu.prng_random_bits(shape)
     ubits = lax.bitcast_convert_type(bits, jnp.uint32)
-    return (ubits >> jnp.uint32(9)).astype(jnp.float32) * (2.0 ** -22) - 1.0
+    # >>9 clears the top 9 bits, so a bitcast to int32 is sign-safe; Mosaic
+    # has no uint32->f32 convert, only int32->f32.
+    u23 = lax.bitcast_convert_type(ubits >> jnp.uint32(9), jnp.int32)
+    return u23.astype(jnp.float32) * (2.0 ** -22) - 1.0
 
 
 def _kernel(st, has_foothold, add_noise,
@@ -53,7 +56,10 @@ def _kernel(st, has_foothold, add_noise,
     """st: static float config dict.  Broadcast-block inputs (Pallas forbids
     captured array constants): nv (1, num_obs) noise-scale vector, dq
     (1, nq) default dof pos, cs (1, 3) command scales."""
-    pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+    # Mosaic caps prng_seed at 2 values; fold the grid index into the
+    # second word with an odd multiplier so tiles stay decorrelated.
+    pltpu.prng_seed(seed_ref[0],
+                    seed_ref[1] + pl.program_id(0) * jnp.int32(-1640531527))
 
     parts = [
         bav_ref[...] * st["ang_vel"],

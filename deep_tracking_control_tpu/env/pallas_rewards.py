@@ -45,7 +45,24 @@ def _row(x):
 
 
 def _sum0(x):
-    return jnp.sum(x, axis=0, keepdims=True)
+    # Unrolled leading-axis sum.  Mosaic rejects vector.multi_reduction
+    # (ADD) over a dimension whose layout has nonzero sublane offsets —
+    # which is exactly what a middle-axis slice like fp[:, 2] of a
+    # (4, 3, T) ref produces.  The leading axis here is tiny and static
+    # (<= 12), so an unrolled row sum is the same VPU work without the
+    # layout constraint.
+    acc = x[0:1]
+    for i in range(1, x.shape[0]):
+        acc = acc + x[i:i + 1]
+    return acc
+
+
+def _min0(x):
+    # Unrolled leading-axis min (same layout rationale as _sum0).
+    acc = x[0:1]
+    for i in range(1, x.shape[0]):
+        acc = jnp.minimum(acc, x[i:i + 1])
+    return acc
 
 
 def _norm_sq2(x, y):
@@ -111,14 +128,12 @@ def _kernel(names, sum_names, scales_dt, st, only_positive,
         return _sum0(jnp.square(bav[:2]))
 
     def t_orientation_common():
-        # plane-fit pitch/roll estimate (legged_robot.py:1535-1596) from
-        # the precomputed plane coefficients X0, X1
-        X = planeX_ref[...]
-        n = jnp.sqrt(X[0:1] ** 2 + X[1:2] ** 2 + 1.0)
-        pnx = -X[0:1] / n                  # p_norm = -plane/|plane|
-        pny = -X[1:2] / n
-        pitch_est = jnp.arctan(pnx)
-        roll_est = -jnp.arctan(pny)
+        # plane-fit pitch/roll estimate (legged_robot.py:1535-1596); the
+        # arctan over the plane normal happens OUTSIDE the kernel (no
+        # Mosaic atan lowering) — planeX_ref carries the raw angles
+        A = planeX_ref[...]
+        pitch_est = A[0:1]
+        roll_est = A[1:2]
         pitch_clip = jnp.where((pitch_est >= -0.1) & (pitch_est <= 0.1),
                                0.0, pitch_est)
         roll_clip = jnp.where((roll_est >= -0.1) & (roll_est <= 0.1),
@@ -280,7 +295,7 @@ def _kernel(names, sum_names, scales_dt, st, only_positive,
         return jnp.square(root_z - mean_fz - st["base_height_target"])
 
     def t_foothold_miss():
-        min_z = jnp.min(fp[:, 2], axis=0, keepdims=True)
+        min_z = _min0(fp[:, 2])
         return (min_z < origin_z).astype(jnp.float32)
 
     def t_soft_tracking_lin_vel():
@@ -408,9 +423,14 @@ def compute_rewards_fused(names, scales_dt, ctx, only_positive,
         acc_points=np.asarray(ctx["acc_points"], np.float32),
     )
 
-    # plane-fit coefficients for the orientation terms: ONE MXU matmul the
-    # kernel would otherwise redo per tile (rewards._plane_norm)
-    planeX = (ctx["measured_heights"] @ ctx["plane_pinv"].T)[:, :2].T
+    # plane-fit pitch/roll estimates for the orientation terms, computed in
+    # XLA: ONE MXU matmul the kernel would otherwise redo per tile
+    # (rewards._plane_norm), and arctan, which Mosaic has no TC lowering
+    # for (verified on-chip: "Unimplemented primitive ... atan").
+    X = (ctx["measured_heights"] @ ctx["plane_pinv"].T)[:, :2].T
+    pn = jnp.sqrt(X[0] ** 2 + X[1] ** 2 + 1.0)
+    planeX = jnp.stack([jnp.arctan(-X[0] / pn),          # pitch_est raw
+                        -jnp.arctan(-X[1] / pn)])        # roll_est raw
 
     mass = jnp.broadcast_to(f32(ctx["robot_mass"]).reshape(-1), (N,))
     scal = jnp.stack([

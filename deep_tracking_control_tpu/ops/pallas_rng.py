@@ -33,11 +33,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(seed_ref, o_ref):
-    pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+    # Mosaic caps prng_seed at 2 values; fold the grid index into the
+    # second word with an odd multiplier so tiles stay decorrelated.
+    pltpu.prng_seed(seed_ref[0],
+                    seed_ref[1] + pl.program_id(0) * jnp.int32(-1640531527))
     bits = pltpu.prng_random_bits(o_ref.shape)
     ubits = lax.bitcast_convert_type(bits, jnp.uint32)
     # top 23 bits -> f32 uniform [0, 2) -> [-1, 1)
-    o_ref[...] = (ubits >> jnp.uint32(9)).astype(jnp.float32) * (2.0 ** -22) - 1.0
+    # >>9 clears the top 9 bits, so a bitcast to int32 is sign-safe; Mosaic
+    # has no uint32->f32 convert, only int32->f32.
+    u23 = lax.bitcast_convert_type(ubits >> jnp.uint32(9), jnp.int32)
+    o_ref[...] = u23.astype(jnp.float32) * (2.0 ** -22) - 1.0
 
 
 def uniform_pm1(key, shape, tile=512, interpret=False):

@@ -695,14 +695,18 @@ class LeggedEnv:
         # ---- termination (dtc.py:229-251 / legged_robot.py:178-198) --------
         if len(self.termination_idx):
             cf_term = contact_forces[:, self.termination_idx]
-            reset_buf = jnp.any(jnp.linalg.norm(cf_term, axis=-1) > 100.0,
-                                axis=1)
+            term_contact = jnp.any(
+                jnp.linalg.norm(cf_term, axis=-1) > 100.0, axis=1)
         else:
-            reset_buf = jnp.zeros((N,), dtype=bool)
+            term_contact = jnp.zeros((N,), dtype=bool)
+        reset_buf = term_contact
         time_out_buf = episode_length > self.max_episode_length
         reset_buf = reset_buf | time_out_buf
+        term_gravity = jnp.zeros((N,), dtype=bool)
+        term_height = jnp.zeros((N,), dtype=bool)
         if cfg.use_dtc_planner:
-            reset_buf = reset_buf | (projected_gravity[:, 2] > 0.2)  # :239
+            term_gravity = projected_gravity[:, 2] > 0.2          # :239
+            reset_buf = reset_buf | term_gravity
             if cfg.terrain.measure_heights:
                 ny = cfg.terrain.measured_y_dim
                 lo_i, hi_i = 10 * ny, (cfg.terrain.measured_x_dim - 10) * ny
@@ -717,17 +721,21 @@ class LeggedEnv:
                 oz = state["env_origins"][:, 2:3]
                 center = jnp.clip(measured_heights[:, lo_i:hi_i] - oz,
                                   0.0, None)
-                reset_buf = reset_buf | (
-                    jnp.mean(base_pos[:, 2:3] - oz - center, axis=1) < 0.15)
+                term_height = jnp.mean(
+                    base_pos[:, 2:3] - oz - center, axis=1) < 0.15
+                reset_buf = reset_buf | term_height
         else:
             if cfg.terrain.measure_heights:
                 ny = cfg.terrain.measured_y_dim
                 lo_i, hi_i = 13 * ny, (cfg.terrain.measured_x_dim - 13) * ny
-                reset_buf = reset_buf | (jnp.mean(
+                term_height = jnp.mean(
                     base_pos[:, 2:3] - measured_heights[:, lo_i:hi_i],
-                    axis=1) < 0.1)
-            reset_buf = reset_buf | (jnp.mean(
-                base_pos[:, 2:3] - foot_positions[:, :, 2], axis=1) < 0.1)
+                    axis=1) < 0.1
+                reset_buf = reset_buf | term_height
+            below_feet = jnp.mean(
+                base_pos[:, 2:3] - foot_positions[:, :, 2], axis=1) < 0.1
+            term_height = term_height | below_feet
+            reset_buf = reset_buf | below_feet
 
         # ---- rewards (legged_robot.py:274-291) ------------------------------
         ctx = dict(
@@ -837,6 +845,14 @@ class LeggedEnv:
         if planes_next is not None:
             mid_state["planes"] = planes_next
         metrics = self._reset_metrics(mid_state, reset_buf)
+        # per-cause termination tally (predicates are not mutually
+        # exclusive; each done env counts under every cause that fired) —
+        # diagnosis surface for plateaus like the X30 len-615 analysis
+        f32 = jnp.float32
+        metrics["term_contact"] = jnp.sum(term_contact.astype(f32))
+        metrics["term_gravity"] = jnp.sum(term_gravity.astype(f32))
+        metrics["term_height"] = jnp.sum(term_height.astype(f32))
+        metrics["term_timeout"] = jnp.sum(time_out_buf.astype(f32))
         new_state = self._apply_reset(mid_state, reset_buf, keys[3])
         # mean terrain level over ALL envs AFTER the curriculum update
         # (legged_robot.py:259 logs torch.mean(self.terrain_levels.float())

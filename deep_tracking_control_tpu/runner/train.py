@@ -404,6 +404,10 @@ class OnPolicyRunner:
         for k, v in stats.items():
             if k.startswith("metric_rew_"):
                 scalars["Episode/" + k[7:]] = float(v) / n_done
+            elif k.startswith("metric_term_"):
+                # per-cause termination rate (fraction of ended episodes;
+                # causes may co-fire) — plateau diagnosis surface
+                scalars["Episode/" + k[7:]] = float(v) / n_done
         if "metric_terrain_level" in stats:
             # iteration mean of the per-step fleet-wide mean terrain level
             # (legged_robot.py:259 logs torch.mean over ALL envs)

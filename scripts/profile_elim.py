@@ -141,6 +141,8 @@ def main():
             ("pallas-obs", {"DTC_PALLAS_OBS": "1"}),
             ("rew+rng", {"DTC_PALLAS_REWARDS": "1", "DTC_PALLAS_RNG": "1"}),
             ("rew+obs", {"DTC_PALLAS_REWARDS": "1", "DTC_PALLAS_OBS": "1"}),
+            ("rew+rng+obs", {"DTC_PALLAS_REWARDS": "1",
+                             "DTC_PALLAS_RNG": "1", "DTC_PALLAS_OBS": "1"}),
     ]:
         for k, v in envvars.items():
             os.environ[k] = v

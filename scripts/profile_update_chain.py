@@ -99,6 +99,10 @@ def main():
               alg=dataclasses.replace(ppo.alg, minibatch_perm_granule=1),
               policy_kind=ppo.policy_kind)
     bench("update (G=1 exact)", pg1)
+    pfj = PPO(net=ppo.net,
+              alg=dataclasses.replace(ppo.alg, fused_joint_step=True),
+              policy_kind=ppo.policy_kind)
+    bench("update (fused joint)", pfj)
 
 
 if __name__ == "__main__":

@@ -323,29 +323,37 @@ class PPO:
             k_vae, k_pol = jax.random.split(k)
 
             if self.policy_kind == "decoder" and alg.fused_joint_step:
-                # ---- fused VAE+policy step: one shared encoder forward,
-                # two cotangent passes routed to the two optimizers
-                # (AlgorithmCfg.fused_joint_step; PARITY.md)
-                def joint(p):
-                    (recons, vel, kld, height), mean, std, value = \
-                        self.net.apply(
-                            p, mb["obs"], mb["obs_history"],
-                            mb["privileged_obs"], mb["next_obs"],
-                            mb["base_vel"], k_vae, k_pol,
-                            method=self.net.joint_forward)
-                    vae_loss = recons + vel + alg.kld_weight * kld + height
+                # ---- fused VAE+policy step: both losses differentiated at
+                # the SAME params (no mid-minibatch VAE refresh — the
+                # documented deviation, PARITY.md), as two value_and_grad
+                # calls.  Two separate grad calls beat one two-cotangent
+                # vjp: a vjp seeded (1,0)/(0,1) runs the FULL joint
+                # backward twice (the zero cotangent is a runtime value,
+                # so XLA can't prune the other head's subgraph), while two
+                # grads each sweep only their own head and XLA CSEs the
+                # shared encoder forward (cenet_stats + terrain encoder)
+                # between them — ~8% fewer MACs than the sequential path.
+                def vae_loss_fn(p):
+                    recons, vel, kld, height = self.net.apply(
+                        p, mb["obs_history"], mb["privileged_obs"],
+                        mb["next_obs"], mb["base_vel"], k_vae,
+                        method=self.net.vae_losses)
+                    loss = recons + vel + alg.kld_weight * kld + height
+                    return loss, (recons, vel, kld, height)
+
+                def pol_loss_fn(p):
+                    mean, std = self._stats(p, mb["obs"], mb["obs_history"],
+                                            mb["privileged_obs"], k_pol)
+                    value = self._value(p, mb["obs"], mb["privileged_obs"],
+                                        mb["base_vel"])
                     loss, surr_l, val_l, ent, kl_mean = pol_terms(
                         mean, std, value, mb)
-                    return (vae_loss, loss), (surr_l, val_l, ent, kl_mean,
-                                              recons, vel, kld, height)
+                    return loss, (surr_l, val_l, ent, kl_mean)
 
-                _, vjp_fn, aux = jax.vjp(joint, params, has_aux=True)
-                one = jnp.ones(())
-                zero_ = jnp.zeros(())
-                (vae_grads,) = vjp_fn((one, zero_))
-                (grads,) = vjp_fn((zero_, one))
-                (surr_l, val_l, ent, kl_mean,
-                 recons_l, vel_l, kld_l, height_l) = aux
+                (_, (recons_l, vel_l, kld_l, height_l)), vae_grads = \
+                    jax.value_and_grad(vae_loss_fn, has_aux=True)(params)
+                (loss, (surr_l, val_l, ent, kl_mean)), grads = \
+                    jax.value_and_grad(pol_loss_fn, has_aux=True)(params)
                 vae_updates, vae_opt_state = vae_opt.update(
                     vae_grads, vae_opt_state, params)
                 params = optax.apply_updates(params, mask_non_vae(vae_updates))

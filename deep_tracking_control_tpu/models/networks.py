@@ -76,19 +76,29 @@ def _bf16_concat(*parts):
                            axis=-1)
 
 
+_MEDIAN_WAYS = 1023      # thresholds per bisection pass
+_MEDIAN_PASSES = 5       # 4 collapse the uint32 range (see below) + 1 spare
+
+
 def masked_median(x, valid):
     """Exact median of ``x[valid]`` — the lower middle element for even
     counts, matching ``torch.Tensor.median`` — without a TPU sort.
 
     Multiway bisection over the monotonic uint32 image of float32: each
-    pass counts keys below 15 evenly spaced thresholds of the current
-    range in one (15, n) compare+reduce (full-lane VPU work), narrowing
-    the range ~15x, so 10 passes pin the k-th smallest key exactly
-    (vs 32 passes for binary bisection — the sequential pass count is
-    what costs on TPU, not the per-pass vector work).  A final masked max
+    pass counts keys below W=1023 evenly spaced thresholds of the current
+    range in one (W, n) compare+reduce (full-lane VPU work), narrowing
+    the range ~W x.  The sequential pass count is what costs on TPU (each
+    pass is a ~30 us dependent launch), not the per-pass vector work, so
+    wide beats narrow: range shrink per pass is r' <= r/W (+W tail), so
+    4 passes collapse uint32 (4.3e9 -> 4.2e6 -> 4.1e3 -> 4 -> point) vs
+    10 passes at W=15 and 32 for binary bisection.  A fifth pass is a
+    no-op safety margin (a point range re-pins itself).  Overflow note:
+    s*(W-1) <= r - r/W + W - 1 < 2^32 for r >= W^2, and < W^2 otherwise,
+    so the threshold products never wrap uint32.  A final masked max
     over the equal elements reconnects the gradient to the selected
     element, mirroring torch's ``t[outliers] = median`` assignment
     semantics (actor_critic_decoder.py:293-299)."""
+    W = _MEDIAN_WAYS
     flat = x.reshape(-1).astype(jnp.float32)
     v = valid.reshape(-1)
     bits = jax.lax.bitcast_convert_type(flat, jnp.int32)
@@ -98,32 +108,29 @@ def masked_median(x, valid):
                     bits ^ jnp.int32(-2**31)).astype(jnp.uint32)
     n = jnp.sum(v)
     k = (n + 1) // 2                         # 1-based lower-middle rank
-    j15 = jnp.arange(15, dtype=jnp.uint32)
+    jw = jnp.arange(W, dtype=jnp.uint32)
 
     def body(_, lh):
         lo, hi = lh                          # invariant: kth key in [lo, hi]
-        s = (hi - lo) // 15 + 1
-        # t[0] = lo; capped at hi so no uint32 wrap (s*14 < 2^32 since
-        # s <= (hi-lo)/15 + 1)
-        t = lo + jnp.minimum(s * j15, hi - lo)
+        s = (hi - lo) // W + 1
+        # t[0] = lo; capped at hi so no uint32 wrap (see overflow note)
+        t = lo + jnp.minimum(s * jw, hi - lo)
         c = jnp.sum(v[None, :] & (key[None, :] <= t[:, None]), axis=1)
         ge = c >= k                          # monotone in j
         idx = jnp.argmax(ge)                 # first satisfied threshold
-        anyg = ge[14]                        # monotone -> any == last
+        anyg = ge[W - 1]                     # monotone -> any == last
         # ge[0]:   kth == lo               -> [lo, lo]
         # first j: kth in (t[j-1], t[j]]   -> [t[j-1]+1, t[j]]
-        # none:    kth in (t[14], hi]      -> [t[14]+1, hi]  (t[14] < hi)
+        # none:    kth in (t[W-1], hi]     -> [t[W-1]+1, hi]  (t[W-1] < hi)
         lo2 = jnp.where(anyg,
                         jnp.where(idx == 0, lo,
                                   t[jnp.maximum(idx, 1) - 1] + 1),
-                        t[14] + 1)
+                        t[W - 1] + 1)
         hi2 = jnp.where(anyg, t[idx], hi)
         return lo2, hi2
 
-    # range shrink per pass: r' <= r/15 + 15, so 10 passes collapse the
-    # full uint32 range to a point (4.3e9 -> 2.9e8 -> ... -> 0)
     lo, _ = jax.lax.fori_loop(
-        0, 10, body, (jnp.uint32(0), jnp.uint32(2**32 - 1)))
+        0, _MEDIAN_PASSES, body, (jnp.uint32(0), jnp.uint32(2**32 - 1)))
     ib = lo.astype(jnp.int32)
     med_bits = jnp.where(ib < 0, ib ^ jnp.int32(-2**31), ~ib)
     med = jax.lax.bitcast_convert_type(med_bits, jnp.float32)

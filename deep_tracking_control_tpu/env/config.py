@@ -334,7 +334,11 @@ class AlgorithmCfg:
     # (Jacobi- instead of Gauss-Seidel-ordered optimizer pair); the two
     # optimizers and their routing stay exactly as in the reference.
     # Deviation + A/B evidence in PARITY.md "Known deviations".
-    fused_joint_step: bool = False
+    # Default ON since round 4: 73.6 vs 81.7 ms/update at 4096 envs,
+    # 159.9 vs 180.3 at 8192 (profile_update_chain, v5e), with
+    # per-minibatch loss trajectories matching the sequential path to
+    # tolerance (tests/test_ppo.py::test_fused_joint_step_close_to_sequential).
+    fused_joint_step: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

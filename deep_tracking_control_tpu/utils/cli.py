@@ -29,6 +29,9 @@ def get_args(argv=None, extra=()):
     p.add_argument("--render", action="store_true", default=False)
     p.add_argument("--render_path", type=str, default="render.gif")
     p.add_argument("--render_steps", type=int, default=300)
+    # full 3D scene (terrain surface + FK-posed robot skeleton + foothold
+    # markers, utils/viewer3d.py) instead of the top-down panel
+    p.add_argument("--render3d", action="store_true", default=False)
     for a, kw in extra:
         p.add_argument(*a, **kw)
     return p.parse_args(argv)

@@ -15,6 +15,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# the axon TPU plugin overrides JAX_PLATFORMS at interpreter start; this
+# flag re-forces the CPU backend after import (same trick as tests/conftest)
+if os.environ.get("DTC_FORCE_CPU", "0") == "1":
+    jax.config.update("jax_platforms", "cpu")
+
 from deep_tracking_control_tpu.env.legged_env import LeggedEnv
 from deep_tracking_control_tpu.runner.train import OnPolicyRunner
 from deep_tracking_control_tpu.runner import checkpoint as ckpt
@@ -69,6 +74,8 @@ def play(args, steps: int = 1000):
             d = out["debug"]
             rec.append(dict(
                 base_pos=np.asarray(state["phys"]["pos"][:, 0]),
+                base_quat=np.asarray(state["phys"]["quat"][:, 0]),
+                q=np.asarray(state["phys"]["q"][:, 0]),
                 foot_positions=np.asarray(d["foot_positions"][0]),
                 pred_footholds=np.asarray(d["pred_footholds"][0]),
                 optimal_footholds=np.asarray(
@@ -99,12 +106,20 @@ def play(args, steps: int = 1000):
                     np.asarray(state["optimal_footholds_world"][0]),
                     np.asarray(d["foot_positions"][0]))
     if rec:
-        from deep_tracking_control_tpu.utils.render_anim import (
-            render_gait_animation)
-        out_path = render_gait_animation(
-            args.render_path, np.asarray(env.grid.height),
-            env.grid.horizontal_scale, env.grid.border_size, rec,
-            stride=2, title=f"{args.task} gait")
+        if getattr(args, "render3d", False):
+            from deep_tracking_control_tpu.utils.viewer3d import (
+                render_3d_animation)
+            out_path = render_3d_animation(
+                args.render_path, np.asarray(env.grid.height),
+                env.grid.horizontal_scale, env.grid.border_size,
+                env.model, rec, title=f"{args.task} 3D gait")
+        else:
+            from deep_tracking_control_tpu.utils.render_anim import (
+                render_gait_animation)
+            out_path = render_gait_animation(
+                args.render_path, np.asarray(env.grid.height),
+                env.grid.horizontal_scale, env.grid.border_size, rec,
+                stride=2, title=f"{args.task} gait")
         print(f"Wrote animation to {out_path} ({len(rec)} frames)")
 
 

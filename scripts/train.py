@@ -5,6 +5,13 @@ from datetime import datetime
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+# the axon TPU plugin overrides JAX_PLATFORMS at interpreter start; this
+# flag re-forces the CPU backend after import (same trick as tests/conftest)
+if os.environ.get("DTC_FORCE_CPU", "0") == "1":
+    jax.config.update("jax_platforms", "cpu")
+
 from deep_tracking_control_tpu.env.legged_env import LeggedEnv
 from deep_tracking_control_tpu.runner.train import OnPolicyRunner
 from deep_tracking_control_tpu.runner import checkpoint as ckpt

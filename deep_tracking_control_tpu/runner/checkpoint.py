@@ -51,11 +51,13 @@ def tree_metadata(path: str):
     # some orbax versions nest once more (CompositeItemMetadata)
     if not isinstance(tree, dict):
         tree = getattr(tree, "tree", tree)
-    if not isinstance(tree, dict) or "env_state" not in tree:
+    if not isinstance(tree, dict) or "params" not in tree:
         raise RuntimeError(
             f"unrecognized orbax checkpoint metadata at {path}: "
             f"{type(meta).__name__} (expected a dict containing "
-            "'env_state'; orbax API drift or a foreign checkpoint)")
+            "'params'; orbax API drift or a foreign checkpoint)")
+    # 'env_state' may legitimately be absent: periodic saves are light
+    # (OnPolicyRunner.save(full=False), the reference's save scope)
     return tree
 
 

@@ -261,16 +261,30 @@ class OnPolicyRunner:
                     params, opt_state, vae_opt_state, lr, batch, key)
             return params, opt_state, vae_opt_state, lr, stats
 
+        # Scalar stats leave the device as ONE packed f32 vector: each
+        # jax array fetched separately is its own RPC on the remote-TPU
+        # tunnel, and the ~45 per-iteration scalars cost ~45 ms/iter of
+        # host overhead when issued individually (~20% of the iteration).
+        # The name order is recorded at trace time (sorted) and used by
+        # learn() to unpack.  The RNG key is threaded THROUGH the graph
+        # for the same reason: a host-side jax.random.split is one more
+        # dispatched device program per iteration.
+        stat_names = self._stat_names = []
+
         def train_iter(params, opt_state, vae_opt_state, lr,
                        env_params, env_state, log_state, key):
-            k_roll, k_upd = jax.random.split(key)
+            k_roll, k_upd, key_next = jax.random.split(key, 3)
             env_state, log_state, batch, aux = collect(
                 params, env_params, env_state, log_state, k_roll)
             params, opt_state, vae_opt_state, lr, stats = do_update(
                 params, opt_state, vae_opt_state, lr, batch, k_upd)
-            stats = {**stats, **aux}
+            stats = {**stats, **aux,
+                     "mean_noise_std": jnp.mean(params["params"]["std"])}
+            stat_names[:] = sorted(stats)
+            vec = jnp.stack([stats[n].astype(jnp.float32)
+                             for n in stat_names])
             return (params, opt_state, vae_opt_state, lr, env_state,
-                    log_state, stats)
+                    log_state, key_next, vec)
 
         repl = self._repl
         log_shardings = jax.tree.map(lambda _: pmesh.env_leading(self.mesh),
@@ -322,6 +336,8 @@ class OnPolicyRunner:
         def consume(p_it, p_stats, p_perf):
             nonlocal t_consume
             stats = jax.device_get(p_stats)
+            if not isinstance(stats, dict):   # packed vector (fast path)
+                stats = dict(zip(self._stat_names, np.asarray(stats)))
             now = time.time()
             dt_iter = now - t_consume
             t_consume = now
@@ -337,11 +353,11 @@ class OnPolicyRunner:
 
         for it in range(start_it, tot_iter):
             t0 = time.time()
-            self.key, k = jax.random.split(self.key)
             perf = None
             if self.cfg.runner.perf_split:
                 # two-program mode: measure collection vs learning
                 # (on_policy_runner.py:113,142-155)
+                self.key, k = jax.random.split(self.key)
                 k_roll, k_upd = jax.random.split(k)
                 (self.env_state, self._log_state, batch, aux) = \
                     self._collect_fn(self.params, self.env_params,
@@ -359,20 +375,29 @@ class OnPolicyRunner:
             else:
                 (self.params, self.opt_state, self.vae_opt_state,
                  self.learning_rate, self.env_state, self._log_state,
-                 stats) = self._train_iter(
+                 self.key, stats) = self._train_iter(
                     self.params, self.opt_state, self.vae_opt_state,
                     self.learning_rate, self.env_params, self.env_state,
-                    self._log_state, k)
-                for leaf in jax.tree.leaves(stats):
-                    leaf.copy_to_host_async()
+                    self._log_state, self.key)
+                stats.copy_to_host_async()
             if pending is not None:
                 consume(*pending)
             pending = (it, stats, perf)
             if self.log_dir is not None and it % save_interval == 0:
-                self.save(os.path.join(self.log_dir, f"model_{it}"))
+                # periodic saves are LIGHT (params/optimizer/RNG — the
+                # reference's save scope; a full env-state checkpoint
+                # costs ~3 s at 4096 envs) and ASYNC: the device->host
+                # fetch of ~30 MB rides the remote-TPU tunnel at a few
+                # seconds a piece, so a synchronous save every 50
+                # iterations adds ~25 min to a 20k-iteration run.  A
+                # worker thread fetches + writes while the device runs
+                # ahead on already-dispatched iterations.  The final
+                # checkpoint below is always full and synchronous.
+                self._save_async(os.path.join(self.log_dir, f"model_{it}"))
             self.current_learning_iteration = it + 1
         if pending is not None:
             consume(*pending)
+        self._join_save()
         if self.log_dir is not None:
             self.save(os.path.join(
                 self.log_dir, f"model_{self.current_learning_iteration}"))
@@ -391,8 +416,11 @@ class OnPolicyRunner:
             "Loss/KL_div": float(stats["kld_loss"]),
             "Loss/height": float(stats["height_loss"]),
             "Loss/learning_rate": float(stats["lr"]),
+            # computed in-graph on the fast path (a host-side fetch of the
+            # std param is an extra per-iteration RPC on the remote tunnel)
             "Policy/mean_noise_std": float(
-                np.mean(np.asarray(self.params["params"]["std"]))),
+                stats["mean_noise_std"]) if "mean_noise_std" in stats
+            else float(np.mean(np.asarray(self.params["params"]["std"]))),
             "Perf/total_fps": fps,
             "Perf/iter_time": dt_iter,
         }
@@ -429,20 +457,72 @@ class OnPolicyRunner:
         print(msg, flush=True)
 
     # ------------------------------------------------------------------
-    def save(self, path: str, infos=None):
-        """Checkpoint (save parity on_policy_runner.py:249-255, extended to
-        include env/curriculum/RNG state per SURVEY.md §5)."""
-        from . import checkpoint as ckpt
-        ckpt.save(path, dict(
+    def _join_save(self):
+        """Wait for an in-flight async save; re-raise its failure."""
+        t = getattr(self, "_save_thread", None)
+        if t is not None:
+            t.join()
+            self._save_thread = None
+            err = getattr(self, "_save_error", None)
+            if err is not None:
+                self._save_error = None
+                raise err
+
+    def _save_async(self, path: str):
+        """Light checkpoint written by a worker thread.
+
+        Snapshots the current param/optimizer references (immutable jax
+        arrays — the training loop rebinding self.params cannot mutate
+        them), starts the device->host fetch, and hands the write to a
+        thread so the device keeps running already-dispatched iterations.
+        At most one save is in flight; a second request joins the first."""
+        import threading
+
+        self._join_save()
+        tree = dict(
             params=self.params,
             opt_state=self.opt_state,
             vae_opt_state=self.vae_opt_state,
             learning_rate=self.learning_rate,
             iter=self.current_learning_iteration,
             key=self.key,
-            env_state=self.env_state,
-            env_params=self.env_params,
-        ))
+        )
+        for leaf in jax.tree.leaves(tree):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+
+        def work():
+            try:
+                from . import checkpoint as ckpt
+                ckpt.save(path, jax.tree.map(
+                    lambda x: np.asarray(x) if hasattr(x, "device") else x,
+                    tree))
+            except BaseException as e:   # surfaced at the next join
+                self._save_error = e
+
+        self._save_error = None
+        self._save_thread = threading.Thread(target=work, daemon=True)
+        self._save_thread.start()
+
+    def save(self, path: str, infos=None, full: bool = True):
+        """Checkpoint (save parity on_policy_runner.py:249-255; with
+        full=True — the default — extended to include env/curriculum/RNG
+        state per SURVEY.md §5).  full=False writes the reference's save
+        scope (params/optimizers/lr/iteration/RNG only): ~30x smaller and
+        ~10x faster, used for periodic mid-training saves."""
+        from . import checkpoint as ckpt
+        tree = dict(
+            params=self.params,
+            opt_state=self.opt_state,
+            vae_opt_state=self.vae_opt_state,
+            learning_rate=self.learning_rate,
+            iter=self.current_learning_iteration,
+            key=self.key,
+        )
+        if full:
+            tree.update(env_state=self.env_state,
+                        env_params=self.env_params)
+        ckpt.save(path, tree)
 
     def load(self, path: str, load_optimizer: bool = True):
         """Restore a checkpoint.  Env/curriculum state is adopted only when
@@ -462,16 +542,19 @@ class OnPolicyRunner:
             return jax.tree.map(
                 lambda x: jax.ShapeDtypeStruct(tuple(x.shape), x.dtype), m)
 
-        restored = ckpt.load(path, dict(
+        template = dict(
             params=self.params,
             opt_state=self.opt_state,
             vae_opt_state=self.vae_opt_state,
             learning_rate=self.learning_rate,
             iter=0,
             key=self.key,
-            env_state=abstract(meta["env_state"]),
-            env_params=abstract(meta["env_params"]),
-        ))
+        )
+        has_env = "env_state" in meta
+        if has_env:
+            template.update(env_state=abstract(meta["env_state"]),
+                            env_params=abstract(meta["env_params"]))
+        restored = ckpt.load(path, template)
         self.params = restored["params"]
         if load_optimizer:
             self.opt_state = restored["opt_state"]
@@ -479,9 +562,31 @@ class OnPolicyRunner:
             self.learning_rate = restored["learning_rate"]
         self.current_learning_iteration = int(restored["iter"])
         self.key = restored["key"]
+        if not has_env:
+            # light checkpoint (periodic save): the reference's scope —
+            # params/optimizer transfer, env state starts fresh
+            print("light checkpoint (no env state): keeping fresh env state")
+            return
         ck_envs = restored["env_state"]["commands"].shape[0]
-        same_struct = (jax.tree.structure(restored["env_state"])
-                       == jax.tree.structure(self.env_state))
+
+        def compatible(stored, ours):
+            # Structure alone is not enough: episode_sums is one (K, N)
+            # stack whose K is the task's active reward-term count, so a
+            # cross-task resume (x30_rough K=17 -> x30_dtc K=18) has
+            # identical structure but incompatible shapes and would only
+            # explode later inside the jitted step.  Require exact leaf
+            # shape+dtype equality (same env count -> shapes must match
+            # exactly for a same-task resume).
+            if jax.tree.structure(stored) != jax.tree.structure(ours):
+                return False
+            return all(
+                tuple(a.shape) == tuple(b.shape) and a.dtype == b.dtype
+                for a, b in zip(jax.tree.leaves(stored),
+                                jax.tree.leaves(ours)))
+
+        same_struct = (compatible(restored["env_state"], self.env_state)
+                       and compatible(restored["env_params"],
+                                      self.env_params))
         if ck_envs == self.env.num_envs and same_struct:
             self.env_state = pmesh.apply_shardings(restored["env_state"],
                                                    self._state_shardings)

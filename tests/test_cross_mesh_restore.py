@@ -52,16 +52,18 @@ def _make_runner(n_devices):
 
 
 def _run_iters(runner, n):
+    """Drive n raw train iterations, returning the per-iteration stats."""
     out = []
     for _ in range(n):
-        runner.key, k = jax.random.split(runner.key)
         (runner.params, runner.opt_state, runner.vae_opt_state,
          runner.learning_rate, runner.env_state, runner._log_state,
-         stats) = runner._train_iter(
+         runner.key, stats) = runner._train_iter(
             runner.params, runner.opt_state, runner.vae_opt_state,
             runner.learning_rate, runner.env_params, runner.env_state,
-            runner._log_state, k)
-        out.append(jax.device_get(stats))
+            runner._log_state, runner.key)
+        import numpy as _np
+        out.append(dict(zip(runner._stat_names,
+                            _np.asarray(jax.device_get(stats)))))
     return out
 
 

@@ -166,10 +166,10 @@ def test_checkpoint_metadata_hardening(trained_runner, tmp_path):
     meta = ckpt.tree_metadata(path)
     assert "env_state" in meta and "env_params" in meta
 
-    # a checkpoint that is missing env_state (foreign tree): loud failure
+    # a checkpoint that is missing params (foreign tree): loud failure
     bad = os.path.join(str(tmp_path), "foreign")
-    ckpt.save(bad, dict(params=trained_runner.params))
-    with pytest.raises(RuntimeError, match="env_state"):
+    ckpt.save(bad, dict(weights=trained_runner.params))
+    with pytest.raises(RuntimeError, match="params"):
         ckpt.tree_metadata(bad)
 
     # load() propagates the failure instead of falling back to fresh env
@@ -181,3 +181,57 @@ def test_checkpoint_metadata_hardening(trained_runner, tmp_path):
     # a nonexistent path fails loudly too
     with pytest.raises(Exception):
         runner.load(os.path.join(str(tmp_path), "missing"))
+
+
+def test_cross_task_resume_shape_mismatch(trained_runner, tmp_path):
+    """Cross-task resume where the active reward-term count differs (the
+    x30_rough K=17 -> x30_dtc K=18 staged protocol): episode_sums is one
+    (K, N) stack, so the trees have IDENTICAL structure but incompatible
+    shapes.  load() must fall back to a fresh env state instead of
+    adopting a tree that only explodes later inside the jitted step."""
+    path = os.path.join(str(tmp_path), "model_x")
+    trained_runner.save(path)
+
+    task, train = _tiny()
+    task = dataclasses.replace(
+        task, rewards=dataclasses.replace(
+            task.rewards, scales=dataclasses.replace(
+                task.rewards.scales, smooth=0.0)))
+    runner2 = OnPolicyRunner(LeggedEnv(task), train, log_dir=None)
+    assert (runner2.env_state["episode_sums"].shape[0]
+            != trained_runner.env_state["episode_sums"].shape[0])
+    before = runner2.env_state
+    runner2.load(path)
+    # params/iteration transferred; env state kept fresh
+    for a, b in zip(jax.tree.leaves(trained_runner.params),
+                    jax.tree.leaves(runner2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert runner2.env_state is before
+    runner2.learn(1, log_every=10**9)
+
+
+def test_light_checkpoint_roundtrip(trained_runner, tmp_path):
+    """save(full=False) — the periodic-save scope (params/optimizer/RNG,
+    matching the reference's torch.save scope, on_policy_runner.py:249-255)
+    — restores params and iteration and keeps a fresh env state."""
+    path = os.path.join(str(tmp_path), "model_light")
+    trained_runner.save(path, full=False)
+
+    from deep_tracking_control_tpu.runner import checkpoint as ckpt
+    meta = ckpt.tree_metadata(path)
+    assert "params" in meta and "env_state" not in meta
+
+    task, train = _tiny()
+    runner2 = OnPolicyRunner(LeggedEnv(task), train, log_dir=None)
+    before_env = runner2.env_state
+    runner2.load(path)
+    for a, b in zip(jax.tree.leaves(trained_runner.params),
+                    jax.tree.leaves(runner2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert runner2.current_learning_iteration == \
+        trained_runner.current_learning_iteration
+    # env state untouched (fresh), and training continues from it
+    assert runner2.env_state is before_env
+    runner2.learn(1, log_every=10**9)
+    assert all(np.all(np.isfinite(np.asarray(l)))
+               for l in jax.tree.leaves(runner2.params))

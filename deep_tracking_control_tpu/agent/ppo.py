@@ -16,7 +16,7 @@ Capability parity with rsl_rl's PPO (ppo.py:42-357) and RolloutStorage
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -71,6 +71,12 @@ class PPO:
     net: Any                       # flax module
     alg: AlgorithmCfg
     policy_kind: str = "decoder"
+    # Elimination-profiling hooks (scripts/profile_update_chain.py): any
+    # of "vae" / "actor" / "critic" / "opt" stubs that component out of
+    # update() so its cost can be measured by difference on hardware
+    # where isolated-dispatch timing is unreliable (the axon tunnel).
+    # Static at trace time; () in production.
+    disable: Tuple[str, ...] = ()
 
     def _stats(self, params, obs, obs_history, privileged_obs, rng):
         if self.policy_kind == "decoder":
@@ -314,6 +320,8 @@ class PPO:
                 / (2.0 * jnp.square(std)) - 0.5, axis=-1)
             return loss, surrogate_loss, value_loss, entropy, jnp.mean(kl)
 
+        dis = self.disable    # elimination-profiling hooks, () in prod
+
         def minibatch_step(carry, xs):
             params, opt_state, vae_opt_state, lr = carry
             start, k = xs
@@ -322,7 +330,20 @@ class PPO:
                 flat)
             k_vae, k_pol = jax.random.split(k)
 
-            if self.policy_kind == "decoder" and alg.fused_joint_step:
+            def stats_or_stub(p):
+                if "actor" in dis:
+                    return mb["old_mu"], mb["old_sigma"]
+                return self._stats(p, mb["obs"], mb["obs_history"],
+                                   mb["privileged_obs"], k_pol)
+
+            def value_or_stub(p):
+                if "critic" in dis:
+                    return mb["values"]
+                return self._value(p, mb["obs"], mb["privileged_obs"],
+                                   mb["base_vel"])
+
+            if (self.policy_kind == "decoder" and alg.fused_joint_step
+                    and "vae" not in dis):
                 # ---- fused VAE+policy step: both losses differentiated at
                 # the SAME params (no mid-minibatch VAE refresh — the
                 # documented deviation, PARITY.md), as two value_and_grad
@@ -342,10 +363,8 @@ class PPO:
                     return loss, (recons, vel, kld, height)
 
                 def pol_loss_fn(p):
-                    mean, std = self._stats(p, mb["obs"], mb["obs_history"],
-                                            mb["privileged_obs"], k_pol)
-                    value = self._value(p, mb["obs"], mb["privileged_obs"],
-                                        mb["base_vel"])
+                    mean, std = stats_or_stub(p)
+                    value = value_or_stub(p)
                     loss, surr_l, val_l, ent, kl_mean = pol_terms(
                         mean, std, value, mb)
                     return loss, (surr_l, val_l, ent, kl_mean)
@@ -354,11 +373,13 @@ class PPO:
                     jax.value_and_grad(vae_loss_fn, has_aux=True)(params)
                 (loss, (surr_l, val_l, ent, kl_mean)), grads = \
                     jax.value_and_grad(pol_loss_fn, has_aux=True)(params)
-                vae_updates, vae_opt_state = vae_opt.update(
-                    vae_grads, vae_opt_state, params)
-                params = optax.apply_updates(params, mask_non_vae(vae_updates))
+                if "opt" not in dis:
+                    vae_updates, vae_opt_state = vae_opt.update(
+                        vae_grads, vae_opt_state, params)
+                    params = optax.apply_updates(params,
+                                                 mask_non_vae(vae_updates))
             else:
-                if self.policy_kind == "decoder":
+                if self.policy_kind == "decoder" and "vae" not in dis:
                     # ---- VAE step (ppo.py:197-254)
                     def vae_loss_fn(p):
                         recons, vel, kld, height = self.net.apply(
@@ -371,21 +392,20 @@ class PPO:
                     (vae_loss, (recons_l, vel_l, kld_l, height_l)), \
                         vae_grads = jax.value_and_grad(
                             vae_loss_fn, has_aux=True)(params)
-                    vae_updates, vae_opt_state = vae_opt.update(
-                        vae_grads, vae_opt_state, params)
-                    # only vae-subtree grads are nonzero; apply directly
-                    params = optax.apply_updates(params,
-                                                 mask_non_vae(vae_updates))
+                    if "opt" not in dis:
+                        vae_updates, vae_opt_state = vae_opt.update(
+                            vae_grads, vae_opt_state, params)
+                        # only vae-subtree grads are nonzero; apply directly
+                        params = optax.apply_updates(
+                            params, mask_non_vae(vae_updates))
                 else:
                     zero = jnp.zeros(())
                     recons_l = vel_l = kld_l = height_l = zero
 
                 # ---- policy step (ppo.py:265-335)
                 def pol_loss_fn(p):
-                    mean, std = self._stats(p, mb["obs"], mb["obs_history"],
-                                            mb["privileged_obs"], k_pol)
-                    value = self._value(p, mb["obs"], mb["privileged_obs"],
-                                        mb["base_vel"])
+                    mean, std = stats_or_stub(p)
+                    value = value_or_stub(p)
                     loss, surr_l, val_l, ent, kl_mean = pol_terms(
                         mean, std, value, mb)
                     return loss, (surr_l, val_l, ent, kl_mean)
@@ -399,12 +419,18 @@ class PPO:
                                jnp.maximum(1e-5, lr / 1.5), lr)
                 lr = jnp.where((kl_mean < alg.desired_kl / 2.0) & (kl_mean > 0),
                                jnp.minimum(1e-2, lr * 1.5), lr)
-            inj = opt_state[1]
-            inj = inj._replace(hyperparams={**inj.hyperparams,
-                                            "learning_rate": lr})
-            opt_state = (opt_state[0], inj)
-            updates, opt_state = main_opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            if "opt" not in dis:
+                inj = opt_state[1]
+                inj = inj._replace(hyperparams={**inj.hyperparams,
+                                                "learning_rate": lr})
+                opt_state = (opt_state[0], inj)
+                updates, opt_state = main_opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+            else:
+                # keep the carry dependent on the grads so XLA can't DCE
+                # the backward pass itself when only the optimizer is out
+                lr = lr + 0.0 * sum(jnp.sum(g.astype(jnp.float32))
+                                    for g in jax.tree.leaves(grads))
 
             stats = dict(value_loss=val_l, surrogate_loss=surr_l,
                          entropy=ent, kl=kl_mean, recons_loss=recons_l,

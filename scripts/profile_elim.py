@@ -154,6 +154,31 @@ def main():
             for k in envvars:
                 os.environ.pop(k, None)
 
+    # post-physics stubbed entirely: action lag + planner goals + the
+    # decimation kernel (and its slab DMAs) only — lower-bounds the
+    # physics pipeline; full minus this = all env logic after physics
+    orig_pp = le.LeggedEnv._post_physics_step
+    def stub_pp(self, params, state, info, key):
+        return state, dict(rew=state["phys"]["pos"][0])
+    le.LeggedEnv._post_physics_step = stub_pp
+    try:
+        env9 = make_env()
+        p9, s9 = env9.init(key)
+        timed("pre+physics", scan_fn(env9, T), p9, s9, key, steps=T)
+    finally:
+        le.LeggedEnv._post_physics_step = orig_pp
+
+    # command resampling stubbed (the per-step masked redraw + widening)
+    orig_rc = le.LeggedEnv._resample_commands_where
+    le.LeggedEnv._resample_commands_where = (
+        lambda self, commands, *a, **k: commands)
+    try:
+        env10 = make_env()
+        p10, s10 = env10.init(key)
+        timed("no-cmd", scan_fn(env10, T), p10, s10, key, steps=T)
+    finally:
+        le.LeggedEnv._resample_commands_where = orig_rc
+
     # observations stubbed (obs/priv/history frozen): upper-bounds the
     # whole obs-assembly + noise cost in one number
     orig_co = le.LeggedEnv._compute_observations

@@ -86,7 +86,7 @@ def main():
         print(f"{name:26s}: {dt:8.2f} ms/update", flush=True)
         return dt
 
-    bench("update (dma gather)", ppo)
+    bench("update (default)", ppo)
     os.environ["DTC_PALLAS_GATHER"] = "0"
     try:
         bench("update (xla gather)", ppo)
@@ -103,6 +103,20 @@ def main():
               alg=dataclasses.replace(ppo.alg, fused_joint_step=True),
               policy_kind=ppo.policy_kind)
     bench("update (fused joint)", pfj)
+
+    # ---- elimination ladder: component costs by difference (the axon
+    # tunnel can't time isolated dispatches, so each PPO.disable variant
+    # stubs one component out of the full chained update) ----
+    if os.environ.get("PROFILE_ELIM", "1") == "1":
+        for name, dis in [
+            ("  minus vae step", ("vae",)),
+            ("  minus actor net", ("actor",)),
+            ("  minus critic net", ("critic",)),
+            ("  minus optimizers", ("opt",)),
+            ("  gather+optimizers", ("vae", "actor", "critic")),
+            ("  gather only", ("vae", "actor", "critic", "opt")),
+        ]:
+            bench(name, dataclasses.replace(ppo, disable=dis))
 
 
 if __name__ == "__main__":

@@ -108,6 +108,29 @@ def test_update_changes_params_and_adapts_lr():
         assert np.isfinite(float(stats[k])), k
 
 
+def test_update_disable_hooks():
+    """PPO.disable elimination-profiling hooks: every variant traces and
+    produces finite stats; full elimination keeps params unchanged."""
+    net, params, batch = _tiny_net_and_batch(T=2, N=4)
+    alg = AlgorithmCfg(num_learning_epochs=1, num_mini_batches=2,
+                       fused_joint_step=True)
+    main_opt, vae_opt = make_optimizers(alg)
+    opt_state = main_opt.init(params)
+    vae_opt_state = vae_opt.init(params)
+    lr = jnp.asarray(alg.learning_rate)
+    for dis in [("vae",), ("actor",), ("critic",), ("opt",),
+                ("vae", "actor", "critic", "opt")]:
+        ppo = PPO(net=net, alg=alg, disable=dis)
+        new_params, _, _, _, stats = jax.jit(ppo.update)(
+            params, opt_state, vae_opt_state, lr, batch,
+            jax.random.PRNGKey(2))
+        assert all(np.isfinite(float(v)) for v in stats.values()), dis
+        if "opt" in dis:
+            for a, b in zip(jax.tree.leaves(params),
+                            jax.tree.leaves(new_params)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_update_with_perm_granule():
     """Group-granule shuffle (minibatch_perm_granule > 1) runs the same
     update pipeline: params move, stats stay finite, and the adaptive LR

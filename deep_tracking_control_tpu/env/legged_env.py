@@ -406,9 +406,17 @@ class LeggedEnv:
             hs = self.grid.horizontal_scale
             if use_sampler:
                 patches = None
-                win = tpatch.extract_window(
-                    self.patch_src, starts, psub.WIN_R0, psub.WIN_R,
-                    interpret=self._pallas_interpret)   # (N, 40, 128)
+                if os.environ.get("DTC_FUSED_WINDOW", "1") != "0":
+                    # the substep kernel DMAs its own per-env contact
+                    # windows from the raw table (pallas_substep
+                    # _substep_kernel_fused) — no host-side extract +
+                    # transpose HBM round-trips.  DTC_FUSED_WINDOW=0
+                    # falls back to the materialized window for A/B.
+                    win = None
+                else:
+                    win = tpatch.extract_window(
+                        self.patch_src, starts, psub.WIN_R0, psub.WIN_R,
+                        interpret=self._pallas_interpret)   # (N, 40, 128)
             else:
                 patches = tpatch.extract(self.patch_src, starts)  # (3,N,Pr,Pc)
 
@@ -441,7 +449,9 @@ class LeggedEnv:
             goals = jnp.stack(goals)                        # (decim, nq, N)
             kp_eff = (self.p_gains * state["kp_factors"]).T
             kd_eff = (self.d_gains * state["kd_factors"]).T
-            if win is not None:
+            if use_sampler and win is None:
+                window = None                # fused in-kernel window DMA
+            elif win is not None:
                 window = jnp.transpose(win, (1, 2, 0))      # (40, 128, N)
             else:
                 window = jnp.transpose(
@@ -458,7 +468,9 @@ class LeggedEnv:
                 goals, kp_eff, kd_eff, state["motor_strengths"].T,
                 state["motor_offsets"].T, params["friction"],
                 params["restitution"], window, worigin, planes, hs,
-                interpret=self._pallas_interpret)
+                interpret=self._pallas_interpret,
+                blocks=self.patch_src.blocks if window is None else None,
+                starts=starts if window is None else None)
             torques = kinfo.pop("torques").T
             body_pts = kinfo.pop("body_pts")
             info = kinfo

@@ -375,6 +375,81 @@ def _substep_kernel(model: RobotModel, layout, geom: ContactGeometry,
                     q_out, qd_out, pos_out, quat_out, lin_out, ang_out,
                     anchors_out, report_out, footpos_out, footvel_out,
                     thigh_out, tau_out, bodypts_out):
+    _substep_body(model, layout, geom, sim, decimation, hs, thigh_dyn_idx,
+                  window_ref[:],
+                  q_ref, qd_ref, pos_ref, quat_ref, lin_ref, ang_ref,
+                  anchors_ref, inertias_ref, goals_ref, kp_ref, kd_ref,
+                  strength_ref, offset_ref, friction_ref, restitution_ref,
+                  worigin_ref, planes_ref, cnq_ref, cgeom_ref,
+                  q_out, qd_out, pos_out, quat_out, lin_out, ang_out,
+                  anchors_out, report_out, footpos_out, footvel_out,
+                  thigh_out, tau_out, bodypts_out)
+
+
+def _substep_kernel_fused(model: RobotModel, layout, geom: ContactGeometry,
+                          sim: SimParams, decimation: int, hs: float,
+                          thigh_dyn_idx, win_r0: int,
+                          # scalar prefetch -----------------------------------
+                          starts_ref,
+                          # refs ----------------------------------------------
+                          q_ref, qd_ref, pos_ref, quat_ref, lin_ref, ang_ref,
+                          anchors_ref, inertias_ref, goals_ref, kp_ref, kd_ref,
+                          strength_ref, offset_ref, friction_ref,
+                          restitution_ref, blocks_ref, worigin_ref, planes_ref,
+                          cnq_ref, cgeom_ref,
+                          # outputs -------------------------------------------
+                          q_out, qd_out, pos_out, quat_out, lin_out, ang_out,
+                          anchors_out, report_out, footpos_out, footvel_out,
+                          thigh_out, tau_out, bodypts_out,
+                          # scratch -------------------------------------------
+                          win_scratch, sems):
+    """Fused-window variant: instead of a host-materialized env-last window
+    (extract_windows_pallas + an XLA transpose = 3 extra HBM round-trips of
+    the 84 MB window at 4096 envs), each grid program DMAs its tile's
+    per-env (WIN_R, WIN_C) contact windows straight out of the blocked raw
+    table (the ops/pallas_patch.py pattern) and transposes them to the
+    env-last compute layout in VMEM."""
+    g = pl.program_id(0)
+    tile = win_scratch.shape[0]
+
+    def dma(k):
+        i = g * tile + k
+        r0 = starts_ref[0, i]
+        b = starts_ref[1, i]
+        return pltpu.make_async_copy(
+            blocks_ref.at[0, b, pl.ds(r0 + win_r0, win_scratch.shape[1]), :],
+            win_scratch.at[k], sems.at[k])
+
+    # issue all copies, then wait: latency overlaps across envs
+    for k in range(tile):
+        dma(k).start()
+    for k in range(tile):
+        dma(k).wait()
+    window = jnp.transpose(win_scratch[:], (1, 2, 0))   # (WIN_R, WIN_C, tile)
+
+    _substep_body(model, layout, geom, sim, decimation, hs, thigh_dyn_idx,
+                  window,
+                  q_ref, qd_ref, pos_ref, quat_ref, lin_ref, ang_ref,
+                  anchors_ref, inertias_ref, goals_ref, kp_ref, kd_ref,
+                  strength_ref, offset_ref, friction_ref, restitution_ref,
+                  worigin_ref, planes_ref, cnq_ref, cgeom_ref,
+                  q_out, qd_out, pos_out, quat_out, lin_out, ang_out,
+                  anchors_out, report_out, footpos_out, footvel_out,
+                  thigh_out, tau_out, bodypts_out)
+
+
+def _substep_body(model: RobotModel, layout, geom: ContactGeometry,
+                  sim: SimParams, decimation: int, hs: float,
+                  thigh_dyn_idx, window,
+                  # refs ------------------------------------------------------
+                  q_ref, qd_ref, pos_ref, quat_ref, lin_ref, ang_ref,
+                  anchors_ref, inertias_ref, goals_ref, kp_ref, kd_ref,
+                  strength_ref, offset_ref, friction_ref, restitution_ref,
+                  worigin_ref, planes_ref, cnq_ref, cgeom_ref,
+                  # outputs ---------------------------------------------------
+                  q_out, qd_out, pos_out, quat_out, lin_out, ang_out,
+                  anchors_out, report_out, footpos_out, footvel_out,
+                  thigh_out, tau_out, bodypts_out):
     nf = len(model.foot_body_index)
     P = len(geom.dyn_idx)
     nrb = model.num_bodies
@@ -388,7 +463,6 @@ def _substep_kernel(model: RobotModel, layout, geom: ContactGeometry,
     ang_vel = ang_ref[:]
     anchors = anchors_ref[:]
     inertias = inertias_ref[:]
-    window = window_ref[:]
     worigin = worigin_ref[:]
     planes = planes_ref[:]
     friction = friction_ref[0]          # (1, T) block -> (T,)
@@ -577,7 +651,8 @@ def decimation_step(model: RobotModel, geom: ContactGeometry, sim: SimParams,
                     decimation: int, thigh_dyn_idx, inertias, phys, anchors,
                     goals, kp_eff, kd_eff, strengths, offsets, friction,
                     restitution, window, win_origin, planes, hs,
-                    interpret: bool = False):
+                    interpret: bool = False, blocks=None, starts=None,
+                    win_r0: int = WIN_R0):
     """Run `decimation` physics substeps in one Pallas call.
 
     All array args are env-LAST:
@@ -585,7 +660,11 @@ def decimation_step(model: RobotModel, geom: ContactGeometry, sim: SimParams,
       anchors (P,2,N); inertias (nb,6,6,N)
       goals (decimation, nq, N) PD joint-position targets
       kp_eff/kd_eff/strengths/offsets (nq,N); friction/restitution (N,)
-      window (WIN_R, WIN_C, N) contact heightfield window (meters)
+      window (WIN_R, WIN_C, N) contact heightfield window (meters), OR
+        window=None with blocks (T, B, R_pad, 128) + starts (N, 2) int32
+        (terrain/patch.py patch_starts layout) — the kernel then DMAs the
+        per-env windows itself from the raw table and transposes in VMEM,
+        skipping the host-side extract + transpose HBM round-trips
       win_origin (2, N) world xy of window cell (0,0)
       planes (P-nf, 5, N) frozen local planes for body points
     Returns (phys', anchors', info) like physics/sim.py sim_step.
@@ -604,21 +683,31 @@ def decimation_step(model: RobotModel, geom: ContactGeometry, sim: SimParams,
     grid = (N // tile,)
 
     def espec(*lead):
-        """BlockSpec for an env-last array with the given leading dims."""
+        """BlockSpec for an env-last array with the given leading dims.
+
+        The index map takes *_ so the same spec works with and without a
+        scalar-prefetch operand (which is appended to index-map args)."""
         nlead = len(lead)
         return pl.BlockSpec(tuple(lead) + (tile,),
-                            lambda g, _n=nlead: (0,) * _n + (g,),
+                            lambda g, *_, _n=nlead: (0,) * _n + (g,),
                             memory_space=pltpu.VMEM)
 
     def cspec(*shape):
         """Replicated (grid-invariant) constant input."""
         nd = len(shape)
-        return pl.BlockSpec(tuple(shape), lambda g, _n=nd: (0,) * _n,
+        return pl.BlockSpec(tuple(shape), lambda g, *_, _n=nd: (0,) * _n,
                             memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_substep_kernel, model, layout, geom, sim,
-                               decimation, hs,
-                               tuple(int(i) for i in thigh_dyn_idx))
+    fused_window = window is None
+    if fused_window:
+        kernel = functools.partial(_substep_kernel_fused, model, layout, geom,
+                                   sim, decimation, hs,
+                                   tuple(int(i) for i in thigh_dyn_idx),
+                                   int(win_r0))
+    else:
+        kernel = functools.partial(_substep_kernel, model, layout, geom, sim,
+                                   decimation, hs,
+                                   tuple(int(i) for i in thigh_dyn_idx))
 
     cnq = jnp.asarray(np.stack([
         model.pos_limit[:, 0], model.pos_limit[:, 1],
@@ -647,21 +736,46 @@ def decimation_step(model: RobotModel, geom: ContactGeometry, sim: SimParams,
     in_specs = [espec(nq), espec(nq), espec(3), espec(4), espec(3), espec(3),
                 espec(P, 2), espec(model.nb, 6, 6), espec(nsub, nq),
                 espec(nq), espec(nq), espec(nq), espec(nq),
-                espec(1), espec(1),
-                espec(WIN_R, WIN_C), espec(2), espec(P - nf, 5),
-                cspec(4, nq), cspec(2, P)]
+                espec(1), espec(1)]
+    operands = [phys["q"], phys["qd"], phys["pos"], phys["quat"],
+                phys["lin_vel"], phys["ang_vel"], anchors, inertias, goals,
+                kp_eff, kd_eff, strengths, offsets,
+                friction.reshape(1, N), restitution.reshape(1, N)]
+    tail_specs = [espec(2), espec(P - nf, 5), cspec(4, nq), cspec(2, P)]
+    tail_operands = [win_origin, planes, cnq, cgeom]
 
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(phys["q"], phys["qd"], phys["pos"], phys["quat"], phys["lin_vel"],
-      phys["ang_vel"], anchors, inertias, goals, kp_eff, kd_eff, strengths,
-      offsets, friction.reshape(1, N), restitution.reshape(1, N),
-      window, win_origin, planes, cnq, cgeom)
+    if fused_window:
+        # starts arrive (N, 2); ship SMEM-friendly as (2, n_pad) like
+        # ops/pallas_patch.py (SMEM pads each row)
+        pad = (-N) % tile
+        if pad:
+            starts = jnp.concatenate(
+                [starts, jnp.zeros((pad, 2), dtype=starts.dtype)], axis=0)
+        starts_t = starts.T
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs
+                + [pl.BlockSpec(memory_space=pl.ANY)] + tail_specs,
+                out_specs=out_specs,
+                scratch_shapes=[
+                    pltpu.VMEM((tile, WIN_R, WIN_C), blocks.dtype),
+                    pltpu.SemaphoreType.DMA((tile,))],
+            ),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(starts_t, *operands, blocks, *tail_operands)
+    else:
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs + [espec(WIN_R, WIN_C)] + tail_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(*operands, window, *tail_operands)
 
     (q, qd, pos, quat, lin_vel, ang_vel, anchors_n, report, foot_pos,
      foot_vel, thigh_pos, torques, body_pts) = outs

@@ -136,6 +136,7 @@ def main():
 
     # opt-in kernels ON (A/B against "full" with the current defaults)
     for name, envvars in [
+            ("materialized-win", {"DTC_FUSED_WINDOW": "0"}),
             ("pallas-rew", {"DTC_PALLAS_REWARDS": "1"}),
             ("hw-rng", {"DTC_PALLAS_RNG": "1"}),
             ("pallas-obs", {"DTC_PALLAS_OBS": "1"}),

@@ -87,6 +87,29 @@ def test_kernel_single_step_tight(tiny_env):
                                    atol=2e-5, rtol=1e-5)
 
 
+def test_fused_window_matches_materialized(tiny_env, monkeypatch):
+    """The in-kernel window DMA (_substep_kernel_fused) must be bitwise
+    identical to the host-materialized extract+transpose path — same rows,
+    same layout, same math."""
+    env = tiny_env
+    params, state = env.init(jax.random.PRNGKey(3))
+    a = jnp.zeros((4, env.num_actions))
+    k = jax.random.PRNGKey(11)
+    env._pallas_interpret = True
+    env._pallas_physics = True
+    monkeypatch.setenv("DTC_FUSED_WINDOW", "0")
+    s0, o0 = env.step(params, state, a, k)
+    monkeypatch.setenv("DTC_FUSED_WINDOW", "1")
+    s1, o1 = env.step(params, state, a, k)
+    env._pallas_interpret = False
+    for key_ in ("pos", "q", "qd", "lin_vel", "ang_vel", "quat"):
+        np.testing.assert_array_equal(np.asarray(s0["phys"][key_]),
+                                      np.asarray(s1["phys"][key_]),
+                                      err_msg=f"phys[{key_}] differs")
+    np.testing.assert_array_equal(np.asarray(o0["rew"]),
+                                  np.asarray(o1["rew"]))
+
+
 def test_kernel_settles_standing(tiny_env):
     """Long-horizon behavioral gate: under zero actions the robot settles
     on its feet (no explosion, no sink-through) with the kernel path."""

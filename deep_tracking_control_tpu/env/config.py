@@ -357,6 +357,16 @@ class RunnerCfg:
     # (Perf/collection time + Perf/learning_time, on_policy_runner.py:196-198);
     # opt-in: it costs one extra host round-trip per iteration
     perf_split: bool = False
+    # iterations chained into one dispatched program (lax.scan over the
+    # full train iteration).  On the remote-TPU tunnel each dispatch +
+    # stats fetch is an RPC; chaining amortizes that host overhead to
+    # ~1/K.  Identical math: the scan body IS train_iter with the same
+    # key threading, so params after K chained iterations match K single
+    # dispatches bit-for-bit (tests/test_train.py).  Blocks only engage
+    # when >= K iterations remain and no checkpoint boundary falls inside
+    # the block, so save cadence and per-iteration TB stats are preserved
+    # (stats come back as a (K, S) matrix, one row per iteration).
+    iters_per_dispatch: int = 10
 
 
 @dataclasses.dataclass(frozen=True)

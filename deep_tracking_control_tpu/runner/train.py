@@ -289,6 +289,42 @@ class OnPolicyRunner:
         repl = self._repl
         log_shardings = jax.tree.map(lambda _: pmesh.env_leading(self.mesh),
                                      self._log_state)
+
+        # K-iteration block: one dispatched program runs K full train
+        # iterations (lax.scan over train_iter) and returns the packed
+        # stat vectors as a (K, S) matrix.  Per-dispatch host/RPC cost on
+        # the remote-TPU tunnel drops to ~1/K (see RunnerCfg
+        # .iters_per_dispatch); the math is identical to K single
+        # dispatches because the body is train_iter itself, including the
+        # in-graph key chain.
+        self._train_block = None
+        K = self.cfg.runner.iters_per_dispatch
+        if K > 1 and not self.cfg.runner.perf_split:
+            def train_block(params, opt_state, vae_opt_state, lr,
+                            env_params, env_state, log_state, key):
+                def body(carry, _):
+                    (params, opt_state, vae_opt_state, lr, env_state,
+                     log_state, key) = carry
+                    (params, opt_state, vae_opt_state, lr, env_state,
+                     log_state, key, vec) = train_iter(
+                        params, opt_state, vae_opt_state, lr, env_params,
+                        env_state, log_state, key)
+                    return (params, opt_state, vae_opt_state, lr,
+                            env_state, log_state, key), vec
+                (params, opt_state, vae_opt_state, lr, env_state,
+                 log_state, key), vecs = jax.lax.scan(
+                    body, (params, opt_state, vae_opt_state, lr,
+                           env_state, log_state, key), None, length=K)
+                return (params, opt_state, vae_opt_state, lr, env_state,
+                        log_state, key, vecs)
+
+            self._train_block = jax.jit(
+                train_block,
+                in_shardings=(repl, repl, repl, repl,
+                              self._params_shardings,
+                              self._state_shardings, log_shardings, repl),
+                donate_argnums=(5,))
+
         if self.cfg.runner.perf_split:
             # two-program mode: real collection-vs-learn wall-clock split
             # (Perf/collection time + Perf/learning_time parity,
@@ -336,24 +372,44 @@ class OnPolicyRunner:
         def consume(p_it, p_stats, p_perf):
             nonlocal t_consume
             stats = jax.device_get(p_stats)
-            if not isinstance(stats, dict):   # packed vector (fast path)
-                stats = dict(zip(self._stat_names, np.asarray(stats)))
+            if isinstance(stats, dict):       # perf_split path
+                rows = [stats]
+            else:                              # packed (S,) or block (K, S)
+                arr = np.asarray(stats)
+                if arr.ndim == 1:
+                    arr = arr[None]
+                rows = [dict(zip(self._stat_names, r)) for r in arr]
             now = time.time()
-            dt_iter = now - t_consume
+            dt_iter = (now - t_consume) / len(rows)
             t_consume = now
-            self.tot_timesteps += T * N
-            self.tot_time += dt_iter
-            if stats["ep_count"] > 0:
-                self.rewbuffer.append(
-                    float(stats["ep_rew_sum"] / stats["ep_count"]))
-                self.lenbuffer.append(
-                    float(stats["ep_len_sum"] / stats["ep_count"]))
-            if self.log_dir is not None and (p_it % log_every == 0):
-                self._log(p_it, stats, dt_iter, perf=p_perf)
+            for i, row in enumerate(rows):
+                self.tot_timesteps += T * N
+                self.tot_time += dt_iter
+                if row["ep_count"] > 0:
+                    self.rewbuffer.append(
+                        float(row["ep_rew_sum"] / row["ep_count"]))
+                    self.lenbuffer.append(
+                        float(row["ep_len_sum"] / row["ep_count"]))
+                if self.log_dir is not None and ((p_it + i) % log_every == 0):
+                    self._log(p_it + i, row, dt_iter, perf=p_perf)
 
-        for it in range(start_it, tot_iter):
+        it = start_it
+        K = self.cfg.runner.iters_per_dispatch
+        while it < tot_iter:
             t0 = time.time()
             perf = None
+            # chain K iterations into one dispatch when a full block fits
+            # before the next checkpoint boundary (model_{j} must hold the
+            # params right after iteration j, so a save iteration may only
+            # be the block's LAST element)
+            nb = 1
+            if self._train_block is not None and tot_iter - it >= K:
+                if self.log_dir is None:
+                    nb = K
+                else:
+                    j_save = it + (-it) % save_interval
+                    if j_save - it + 1 >= K:
+                        nb = K
             if self.cfg.runner.perf_split:
                 # two-program mode: measure collection vs learning
                 # (on_policy_runner.py:113,142-155)
@@ -373,9 +429,10 @@ class OnPolicyRunner:
                 t_learn = time.time() - t1
                 perf = (t_collect, t_learn)
             else:
+                fn = self._train_block if nb > 1 else self._train_iter
                 (self.params, self.opt_state, self.vae_opt_state,
                  self.learning_rate, self.env_state, self._log_state,
-                 self.key, stats) = self._train_iter(
+                 self.key, stats) = fn(
                     self.params, self.opt_state, self.vae_opt_state,
                     self.learning_rate, self.env_params, self.env_state,
                     self._log_state, self.key)
@@ -383,7 +440,8 @@ class OnPolicyRunner:
             if pending is not None:
                 consume(*pending)
             pending = (it, stats, perf)
-            if self.log_dir is not None and it % save_interval == 0:
+            last_it = it + nb - 1
+            if self.log_dir is not None and last_it % save_interval == 0:
                 # periodic saves are LIGHT (params/optimizer/RNG — the
                 # reference's save scope; a full env-state checkpoint
                 # costs ~3 s at 4096 envs) and ASYNC: the device->host
@@ -393,8 +451,10 @@ class OnPolicyRunner:
                 # worker thread fetches + writes while the device runs
                 # ahead on already-dispatched iterations.  The final
                 # checkpoint below is always full and synchronous.
-                self._save_async(os.path.join(self.log_dir, f"model_{it}"))
-            self.current_learning_iteration = it + 1
+                self._save_async(os.path.join(self.log_dir,
+                                              f"model_{last_it}"))
+            self.current_learning_iteration = last_it + 1
+            it += nb
         if pending is not None:
             consume(*pending)
         self._join_save()

@@ -235,3 +235,26 @@ def test_light_checkpoint_roundtrip(trained_runner, tmp_path):
     runner2.learn(1, log_every=10**9)
     assert all(np.all(np.isfinite(np.asarray(l)))
                for l in jax.tree.leaves(runner2.params))
+
+
+def test_block_dispatch_matches_single(tmp_path):
+    """iters_per_dispatch=K chains K train iterations into one program
+    (lax.scan over train_iter); the in-graph key chain makes the math
+    identical to K single dispatches."""
+    def run(k_block, iters=4):
+        task, train = _tiny()
+        train = dataclasses.replace(
+            train, runner=dataclasses.replace(
+                train.runner, iters_per_dispatch=k_block))
+        env = LeggedEnv(task)
+        runner = OnPolicyRunner(env, train, log_dir=None)
+        runner.learn(iters, log_every=10**9)
+        assert runner.current_learning_iteration == iters
+        return runner.params
+
+    p1 = run(1)
+    p4 = run(4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p4)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-5, atol=2e-6)

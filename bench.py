@@ -34,11 +34,24 @@ def main():
         train_cfg = dataclasses.replace(
             train_cfg, algorithm=dataclasses.replace(
                 train_cfg.algorithm, fused_joint_step=True))
+    if "BENCH_ITERS_PER_DISPATCH" in os.environ:          # A/B hook
+        train_cfg = dataclasses.replace(
+            train_cfg, runner=dataclasses.replace(
+                train_cfg.runner, iters_per_dispatch=int(
+                    os.environ["BENCH_ITERS_PER_DISPATCH"])))
     env = LeggedEnv(task_cfg, terrain_seed=1)
     runner = OnPolicyRunner(env, train_cfg, log_dir=None)
 
     T = train_cfg.runner.num_steps_per_env
-    runner.learn(3, log_every=10 ** 9)          # warmup + compile
+    # Warmup must compile BOTH dispatch programs the measured loop uses:
+    # the single-iteration graph AND the K-iteration block graph
+    # (RunnerCfg.iters_per_dispatch chains K train iterations into one
+    # dispatch; learn() engages it whenever >= K iterations remain, so
+    # the measured learn(ITERS) below runs block-first).  Warming only 3
+    # iterations would leave the block graph to compile INSIDE the timed
+    # window (~10 min remote compile on the axon tunnel).
+    K = train_cfg.runner.iters_per_dispatch
+    runner.learn(K + 3, log_every=10 ** 9)      # warmup + compile
 
     t0 = time.perf_counter()
     runner.learn(ITERS, log_every=10 ** 9)

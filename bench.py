@@ -35,21 +35,27 @@ def main():
             train_cfg, algorithm=dataclasses.replace(
                 train_cfg.algorithm, fused_joint_step=True))
     if "BENCH_ITERS_PER_DISPATCH" in os.environ:          # A/B hook
+        try:
+            k_override = int(os.environ["BENCH_ITERS_PER_DISPATCH"])
+        except ValueError:
+            sys.exit("BENCH_ITERS_PER_DISPATCH must be an integer >= 1")
+        if k_override < 1:
+            sys.exit("BENCH_ITERS_PER_DISPATCH must be >= 1")
+        # Clamp K to ITERS: learn() only engages the block graph when
+        # >= K iterations remain, so a K > ITERS would pay a ~10-min
+        # remote block compile for a program the timed window never
+        # runs while silently measuring single dispatch (ADVICE r4).
         train_cfg = dataclasses.replace(
             train_cfg, runner=dataclasses.replace(
-                train_cfg.runner, iters_per_dispatch=int(
-                    os.environ["BENCH_ITERS_PER_DISPATCH"])))
+                train_cfg.runner,
+                iters_per_dispatch=min(k_override, ITERS)))
     env = LeggedEnv(task_cfg, terrain_seed=1)
     runner = OnPolicyRunner(env, train_cfg, log_dir=None)
 
     T = train_cfg.runner.num_steps_per_env
-    # Warmup must compile BOTH dispatch programs the measured loop uses:
-    # the single-iteration graph AND the K-iteration block graph
-    # (RunnerCfg.iters_per_dispatch chains K train iterations into one
-    # dispatch; learn() engages it whenever >= K iterations remain, so
-    # the measured learn(ITERS) below runs block-first).  Warming only 3
-    # iterations would leave the block graph to compile INSIDE the timed
-    # window (~10 min remote compile on the axon tunnel).
+    # Warmup must compile every dispatch program the measured loop uses;
+    # with K > 1 (opt-in block dispatch) that includes the K-iteration
+    # block graph, so warm K + 3 iterations.
     K = train_cfg.runner.iters_per_dispatch
     runner.learn(K + 3, log_every=10 ** 9)      # warmup + compile
 

@@ -278,7 +278,8 @@ class PPO:
         # cost) and XLA's gather on 16-row groups already runs at
         # bandwidth, so the Pallas kernel (ops/pallas_gather.py) stays
         # opt-in for A/B (DTC_PALLAS_GATHER=1).
-        use_dma = (os.environ.get("DTC_PALLAS_GATHER", "0") == "1"
+        from ..utils.flags import kernel_flag
+        use_dma = (kernel_flag("DTC_PALLAS_GATHER", "0")
                    and jax.default_backend() != "cpu")
         if use_dma:
             from ..ops.pallas_gather import permute_groups

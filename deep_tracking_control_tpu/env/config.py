@@ -358,15 +358,19 @@ class RunnerCfg:
     # opt-in: it costs one extra host round-trip per iteration
     perf_split: bool = False
     # iterations chained into one dispatched program (lax.scan over the
-    # full train iteration).  On the remote-TPU tunnel each dispatch +
-    # stats fetch is an RPC; chaining amortizes that host overhead to
-    # ~1/K.  Identical math: the scan body IS train_iter with the same
-    # key threading, so params after K chained iterations match K single
-    # dispatches bit-for-bit (tests/test_train.py).  Blocks only engage
-    # when >= K iterations remain and no checkpoint boundary falls inside
-    # the block, so save cadence and per-iteration TB stats are preserved
-    # (stats come back as a (K, S) matrix, one row per iteration).
-    iters_per_dispatch: int = 10
+    # full train iteration).  Identical math: the scan body IS train_iter
+    # with the same key threading, so params after K chained iterations
+    # match K single dispatches bit-for-bit (tests/test_train.py).
+    #
+    # DEFAULT 1 (block dispatch OFF).  Round-4 shipped K=10 as default
+    # with only a CPU equivalence test; on the real v5e the K-scan
+    # program runs ~23x SLOWER per iteration than K single dispatches
+    # (29.2k vs 516.9k fps, VERDICT.md round 4) — XLA schedules the
+    # Pallas-kernel-heavy body far worse inside the outer scan.  The
+    # host-RPC overhead it targeted is already eliminated by packed
+    # stats + in-graph RNG + async saves.  Do not raise this default
+    # without a same-day on-TPU bench (CLAUDE.md process rule).
+    iters_per_dispatch: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import quat as qm
+from ..utils.flags import kernel_flag
 from ..physics import engine, pallas_substep as psub, quadruped, sim as psim
 from ..robot import quadrupeds
 from ..robot.model import RobotModel, load_urdf
@@ -183,7 +184,7 @@ class LeggedEnv:
         # the reference implementation (CPU tests, exotic models, planes).
         # DTC_PALLAS_PHYSICS=0 disables it for A/B runs.
         self._pallas_physics = (
-            os.environ.get("DTC_PALLAS_PHYSICS", "1") != "0"
+            kernel_flag("DTC_PALLAS_PHYSICS", "1")
             and self.patch_src is not None
             and quadruped.quad_layout(self.model) is not None
             and cfg.sim.substeps == 1)
@@ -191,10 +192,10 @@ class LeggedEnv:
         # instead of XLA threefry.  Opt-in (DTC_PALLAS_RNG=1) until the
         # on-device A/B flips the default; noise STREAM differs from the
         # XLA path (documented there + PARITY.md).
-        self._pallas_rng = os.environ.get("DTC_PALLAS_RNG", "0") != "0"
+        self._pallas_rng = kernel_flag("DTC_PALLAS_RNG", "0")
         # fused obs-assembly kernel (env/pallas_obs.py), opt-in; subsumes
         # the HW-RNG draws at the obs site when enabled
-        self._pallas_obs = os.environ.get("DTC_PALLAS_OBS", "0") != "0"
+        self._pallas_obs = kernel_flag("DTC_PALLAS_OBS", "0")
         self._pallas_interpret = False     # tests flip this to run on CPU
 
     # ------------------------------------------------------------------
@@ -390,7 +391,7 @@ class LeggedEnv:
         # (7.5 -> 4.7 ms/step at 4096 envs vs the XLA einsum sampler).
         # DTC_PALLAS_SAMPLER=0 falls back for A/B runs.
         use_sampler = (use_kernel and cfg.terrain.measure_heights
-                       and os.environ.get("DTC_PALLAS_SAMPLER", "1") != "0")
+                       and kernel_flag("DTC_PALLAS_SAMPLER", "1"))
 
         # per-env terrain patches, extracted once per policy step; all
         # height queries this step run as matmul-samples from the patches
@@ -406,7 +407,7 @@ class LeggedEnv:
             hs = self.grid.horizontal_scale
             if use_sampler:
                 patches = None
-                if os.environ.get("DTC_FUSED_WINDOW", "1") != "0":
+                if kernel_flag("DTC_FUSED_WINDOW", "1"):
                     # the substep kernel DMAs its own per-env contact
                     # windows from the raw table (pallas_substep
                     # _substep_kernel_fused) — no host-side extract +
@@ -678,7 +679,7 @@ class LeggedEnv:
             # so it stays on the XLA planner.  DTC_PALLAS_PLANNER=0 for A/B.
             use_planner_kernel = (
                 bool(info.get("use_kernel")) and not cfg.env.debug_viz
-                and os.environ.get("DTC_PALLAS_PLANNER", "1") != "0")
+                and kernel_flag("DTC_PALLAS_PLANNER", "1"))
             if use_planner_kernel:
                 plan = pplanner.plan_footholds_fused(
                     cfg, base_pos, base_quat, base_lin_vel, commands, hips,
@@ -809,7 +810,7 @@ class LeggedEnv:
         # recorded verify_kernels_tpu pass.)
         use_rewards_kernel = (
             bool(info.get("use_kernel"))
-            and os.environ.get("DTC_PALLAS_REWARDS", "0") != "0"
+            and kernel_flag("DTC_PALLAS_REWARDS", "0")
             and N % 128 == 0
             and len(self.feet_idx) == 4)
         if use_rewards_kernel:

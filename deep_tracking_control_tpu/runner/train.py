@@ -24,12 +24,24 @@ from ..env.legged_env import LeggedEnv
 from ..models.networks import (ActorCritic, ActorCriticDecoder,
                                ActorCriticRecurrent)
 from ..parallel import mesh as pmesh
+from ..utils import flags
 
 
 class OnPolicyRunner:
     def __init__(self, env: LeggedEnv, train_cfg: TrainCfg,
                  log_dir: Optional[str] = None, mesh=None, writer=None):
         self.env = env
+        if flags.strict_parity():
+            # strict-parity master switch (PARITY.md "Known deviations"):
+            # restore exact reference update semantics — sequential
+            # VAE-then-policy ordering (rsl_rl ppo.py:197-254) and per-row
+            # minibatch permutation (rollout_storage.py:165).  The kernel
+            # gates and bf16 storage are forced off at their own sites via
+            # utils/flags.
+            import dataclasses as _dc
+            train_cfg = _dc.replace(train_cfg, algorithm=_dc.replace(
+                train_cfg.algorithm, fused_joint_step=False,
+                minibatch_perm_granule=1))
         self.cfg = train_cfg
         self.log_dir = log_dir
         if mesh is None:
@@ -187,9 +199,13 @@ class OnPolicyRunner:
                 # 0.4% bf16 rounding sits far inside the height scan's
                 # +-0.1 obs noise.  Halves the update's dominant HBM
                 # traffic (the (T*N, 1389+265) permutation gather).
+                # DTC_STRICT_PARITY=1 restores the reference's all-f32
+                # storage (rollout_storage.py:30-60).
+                store_dt = (jnp.float32 if flags.strict_parity()
+                            else jnp.bfloat16)
                 trans = dict(obs=obs,
-                             privileged_obs=priv.astype(jnp.bfloat16),
-                             obs_history=hist.astype(jnp.bfloat16),
+                             privileged_obs=priv.astype(store_dt),
+                             obs_history=hist.astype(store_dt),
                              base_vel=base_vel, actions=a["actions"],
                              values=a["values"], old_log_prob=a["log_prob"],
                              old_mu=a["mu"], old_sigma=a["sigma"],

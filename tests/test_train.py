@@ -237,6 +237,51 @@ def test_light_checkpoint_roundtrip(trained_runner, tmp_path):
                for l in jax.tree.leaves(runner2.params))
 
 
+def test_strict_parity_switch(monkeypatch):
+    """DTC_STRICT_PARITY=1 flips every deliberate reference-semantics
+    deviation off at once (VERDICT r4 item 8): sequential update ordering,
+    per-row minibatch permutation, f32 rollout storage, and all Pallas
+    kernel gates — even when the per-gate env vars try to force them on."""
+    from deep_tracking_control_tpu.utils import flags
+
+    monkeypatch.setenv("DTC_STRICT_PARITY", "1")
+    monkeypatch.setenv("DTC_PALLAS_PHYSICS", "1")   # overridden by parity
+    monkeypatch.setenv("DTC_PALLAS_RNG", "1")
+    monkeypatch.setenv("DTC_PALLAS_GATHER", "1")
+    assert flags.strict_parity()
+    for gate, default in [("DTC_PALLAS_PHYSICS", "1"),
+                          ("DTC_PALLAS_SAMPLER", "1"),
+                          ("DTC_PALLAS_PLANNER", "1"),
+                          ("DTC_PALLAS_REWARDS", "0"),
+                          ("DTC_PALLAS_RNG", "0"),
+                          ("DTC_PALLAS_OBS", "0"),
+                          ("DTC_PALLAS_GATHER", "0"),
+                          ("DTC_FUSED_WINDOW", "1")]:
+        assert flags.kernel_flag(gate, default) is False, gate
+
+    task, train = _tiny()
+    train = dataclasses.replace(
+        train, runner=dataclasses.replace(train.runner, perf_split=True))
+    env = LeggedEnv(task)
+    assert env._pallas_physics is False
+    assert env._pallas_rng is False and env._pallas_obs is False
+    runner = OnPolicyRunner(env, train, log_dir=None)
+    # reference update semantics restored (rsl_rl ppo.py:197-254 ordering,
+    # rollout_storage.py:165 per-row permutation)
+    assert runner.cfg.algorithm.fused_joint_step is False
+    assert runner.cfg.algorithm.minibatch_perm_granule == 1
+    # f32 rollout storage (rollout_storage.py:30-60): inspect the actual
+    # collection output through the perf_split two-program path
+    runner.learn(1, log_every=10**9)
+    key = jax.random.PRNGKey(0)
+    # mirror learn()'s call shape; env_state is donated, so rebind it
+    runner.env_state, runner._log_state, batch, _ = runner._collect_fn(
+        runner.params, runner.env_params, runner.env_state,
+        runner._log_state, key)
+    assert batch["privileged_obs"].dtype == jnp.float32
+    assert batch["obs_history"].dtype == jnp.float32
+
+
 def test_block_dispatch_matches_single(tmp_path):
     """iters_per_dispatch=K chains K train iterations into one program
     (lax.scan over train_iter); the in-graph key chain makes the math

@@ -276,13 +276,13 @@ class PPO:
         # G=1 XLA 90.2 ms/update, G=16 XLA 82.8, G=16 Pallas DMA 84.8 —
         # the grouping is the win (wide rows amortize the per-row issue
         # cost) and XLA's gather on 16-row groups already runs at
-        # bandwidth, so the Pallas kernel (ops/pallas_gather.py) stays
+        # bandwidth, so the Pallas kernel (experimental/pallas_gather.py) stays
         # opt-in for A/B (DTC_PALLAS_GATHER=1).
         from ..utils.flags import kernel_flag
         use_dma = (kernel_flag("DTC_PALLAS_GATHER", "0")
                    and jax.default_backend() != "cpu")
         if use_dma:
-            from ..ops.pallas_gather import permute_groups
+            from ..experimental.pallas_gather import permute_groups
             flat = permute_groups(flat, perm, G)
         else:
             flat = jax.tree.map(

@@ -94,6 +94,20 @@ class CommandsCfg:
     resampling_time: float = 10.0
     heading_command: bool = True
     ranges: CommandRanges = field(default_factory=CommandRanges)
+    # Descent-frontier intervention (round 5, NO reference analog, default
+    # OFF): on descent-family terrain columns (rough_slope / stairs_down,
+    # terrain/generator.py DESCENT_FAMILIES) at terrain_level >=
+    # descent_clamp_level, rescale the sampled planar command velocity to
+    # at most descent_clamp m/s.  The X30 termination analysis shows
+    # 97-99% of high-level episodes on those families end in falls: the
+    # sampled commands (up to ~1 m/s) are unreachable down 30-40 cm steps
+    # for a 50 kg robot, so the policy never collects on-feet descent
+    # experience.  Clamping keeps the tracking target achievable (0.5 m/s
+    # still clears the 0.24 m/s curriculum promotion bar,
+    # legged_robot.py:690-714) while leaving every other family and all
+    # lower levels at exact reference command ranges.
+    descent_clamp: float = 0.0          # 0 disables
+    descent_clamp_level: int = 6
 
 
 @dataclasses.dataclass(frozen=True)

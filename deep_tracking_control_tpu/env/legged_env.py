@@ -25,7 +25,7 @@ from ..robot import quadrupeds
 from ..robot.model import RobotModel, load_urdf
 from ..terrain import grid as tgrid
 from ..terrain import patch as tpatch
-from ..terrain.generator import Terrain
+from ..terrain.generator import DESCENT_FAMILIES, Terrain, column_families
 from . import pallas_planner as pplanner, planner, rewards as rew_mod
 from .config import TaskCfg
 
@@ -144,6 +144,14 @@ class LeggedEnv:
             [cfg.normalization.obs_scales.lin_vel,
              cfg.normalization.obs_scales.lin_vel,
              cfg.normalization.obs_scales.ang_vel], dtype=np.float32)
+        # descent-command clamp (CommandsCfg.descent_clamp): per-column
+        # descent-family mask under the curriculum layout; None = disabled
+        self._descent_cols = None
+        if (cfg.commands.descent_clamp > 0.0 and self.terrain is not None
+                and cfg.terrain.curriculum and not cfg.terrain.selected):
+            fams = column_families(cfg.terrain)
+            self._descent_cols = np.array(
+                [f in DESCENT_FAMILIES for f in fams], dtype=bool)
         self.noise_scale_vec = self._make_noise_scale_vec()
 
         # reward bookkeeping (legged_robot.py:929-948): dt-scaled nonzero terms
@@ -188,12 +196,12 @@ class LeggedEnv:
             and self.patch_src is not None
             and quadruped.quad_layout(self.model) is not None
             and cfg.sim.substeps == 1)
-        # big per-step noise draws from the TPU HW PRNG (ops/pallas_rng.py)
+        # big per-step noise draws from the TPU HW PRNG (experimental/pallas_rng.py)
         # instead of XLA threefry.  Opt-in (DTC_PALLAS_RNG=1) until the
         # on-device A/B flips the default; noise STREAM differs from the
         # XLA path (documented there + PARITY.md).
         self._pallas_rng = kernel_flag("DTC_PALLAS_RNG", "0")
-        # fused obs-assembly kernel (env/pallas_obs.py), opt-in; subsumes
+        # fused obs-assembly kernel (experimental/pallas_obs.py), opt-in; subsumes
         # the HW-RNG draws at the obs site when enabled
         self._pallas_obs = kernel_flag("DTC_PALLAS_OBS", "0")
         self._pallas_interpret = False     # tests flip this to run on CPU
@@ -555,6 +563,8 @@ class LeggedEnv:
         need_resample = (episode_length % resample_every) == 0
         commands = self._resample_commands_where(
             commands, need_resample, state["command_lin_vel_x"], keys[0])
+        commands = self._clamp_descent_commands(
+            commands, state["terrain_types"], state["terrain_levels"])
         if cfg.commands.heading_command:                      # :536-539
             fwd = qm.quat_rotate(base_quat,
                                  jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]),
@@ -801,7 +811,7 @@ class LeggedEnv:
             reset_buf=reset_buf, time_out_buf=time_out_buf,
             updates={},
         )
-        # fused rewards kernel (env/pallas_rewards.py): every active term,
+        # fused rewards kernel (experimental/pallas_rewards.py): every active term,
         # the positive clip, the termination term, the (K, N) episode-sum
         # accumulate, and the stateful buffer updates in ONE launch
         # (the XLA path lowers to dozens of small outer fusions).
@@ -814,7 +824,7 @@ class LeggedEnv:
             and N % 128 == 0
             and len(self.feet_idx) == 4)
         if use_rewards_kernel:
-            from . import pallas_rewards as prw
+            from ..experimental import pallas_rewards as prw
             rew_buf, episode_sums, upd = prw.compute_rewards_fused(
                 self.reward_names, self.reward_scales_dt, ctx,
                 cfg.rewards.only_positive_rewards,
@@ -927,6 +937,22 @@ class LeggedEnv:
         return jnp.where(mask[:, None], new_c, commands)
 
     # ------------------------------------------------------------------
+    def _clamp_descent_commands(self, commands, types, levels):
+        """Rescale planar commands to <= descent_clamp m/s on descent-family
+        columns at terrain_level >= descent_clamp_level (CommandsCfg; no
+        reference analog — round-5 X30 descent-frontier intervention).
+        Direction is preserved; yaw/heading commands are untouched."""
+        c = self.cfg.commands
+        if self._descent_cols is None:
+            return commands
+        on_descent = (jnp.asarray(self._descent_cols)[types]
+                      & (levels >= c.descent_clamp_level))
+        speed = jnp.linalg.norm(commands[:, :2], axis=1)
+        scale = jnp.where(on_descent & (speed > c.descent_clamp),
+                          c.descent_clamp / jnp.maximum(speed, 1e-6), 1.0)
+        return commands.at[:, :2].multiply(scale[:, None])
+
+    # ------------------------------------------------------------------
     def _reset_metrics(self, state, done):
         """Episode logging at reset (legged_robot.py:252-261): per-term sums
         over done envs (host divides by count for means)."""
@@ -1014,6 +1040,9 @@ class LeggedEnv:
         # commands for reset envs (legged_robot.py:225)
         commands = self._resample_commands_where(
             state["commands"], done, cmd_range, keys[4])
+        # clamp against the POST-curriculum levels the env respawns at
+        commands = self._clamp_descent_commands(
+            commands, state["terrain_types"], levels)
 
         # per-episode actuator DR (legged_robot.py:465-481): one scalar/env
         dr = cfg.domain_rand
@@ -1103,7 +1132,7 @@ class LeggedEnv:
         N = self.num_envs
         os_ = cfg.normalization.obs_scales
 
-        # fused obs kernel (env/pallas_obs.py): obs concat + noise + height
+        # fused obs kernel (experimental/pallas_obs.py): obs concat + noise + height
         # chain + privileged concat + clips + history roll in one launch,
         # with both noise draws from the in-kernel HW PRNG.  Opt-in
         # (DTC_PALLAS_OBS=1) until the on-device A/B flips the default.
@@ -1111,7 +1140,7 @@ class LeggedEnv:
                           and (self._pallas_interpret
                                or jax.default_backend() != "cpu"))
         if use_obs_kernel:
-            from . import pallas_obs
+            from ..experimental import pallas_obs
             obs, privileged, obs_history = \
                 pallas_obs.compute_observations_fused(
                     self, state, base_pos, base_ang_vel, projected_gravity,
@@ -1144,7 +1173,7 @@ class LeggedEnv:
         use_hw_rng = self._pallas_rng and (
             self._pallas_interpret or jax.default_backend() != "cpu")
         if use_hw_rng:
-            from ..ops import pallas_rng
+            from ..experimental import pallas_rng
             height_noise = pallas_rng.uniform_pm1(
                 k1, heights.shape, interpret=self._pallas_interpret)
         else:
@@ -1160,7 +1189,7 @@ class LeggedEnv:
 
         if cfg.noise.add_noise:                                  # dtc.py:284-287
             if use_hw_rng:
-                from ..ops import pallas_rng
+                from ..experimental import pallas_rng
                 obs_noise = pallas_rng.uniform_pm1(
                     k2, obs.shape, interpret=self._pallas_interpret)
             else:

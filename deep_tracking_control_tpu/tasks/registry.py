@@ -244,8 +244,23 @@ def x30_rough():
     return task, train
 
 
+def x30_dtc_descent():
+    """x30_dtc + the descent-frontier command clamp (round-5 intervention,
+    CommandsCfg.descent_clamp — no reference analog).  Same policy/obs/
+    reward semantics as x30_dtc, so checkpoints transfer both ways; only
+    the command DISTRIBUTION on rough_slope/stairs_down columns at
+    terrain_level >= 6 narrows to <= 0.5 m/s.  Logs under the x30_dtc
+    experiment name so --resume/--load_run find the staged checkpoints."""
+    task, train = x30_dtc()
+    task = dataclasses.replace(
+        task, commands=dataclasses.replace(
+            task.commands, descent_clamp=0.5, descent_clamp_level=6))
+    return task, train
+
+
 register("lite3_dtc", lite3_dtc)
 register("lite3_rough", lite3_rough)
 register("lite3_fast", lite3_fast)
 register("x30_dtc", x30_dtc)
 register("x30_rough", x30_rough)
+register("x30_dtc_descent", x30_dtc_descent)

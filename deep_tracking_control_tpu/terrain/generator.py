@@ -256,6 +256,42 @@ def make_tile(cfg, rng, choice: float, difficulty: float) -> SubTerrain:
     return t
 
 
+# family names in make_tile's cumulative-proportion order; the first four
+# mirror the reference's terrain.py:95-113 choice ladder
+FAMILIES = ["slope", "rough_slope", "stairs_up", "stairs_down",
+            "discrete", "stepping_stones", "gap", "pit"]
+
+# families where the robot's outward walk from the center platform is a
+# DESCENT at positive difficulty: rough_slope is a raised pyramid (walking
+# out = downhill on rough ground) and stairs_down flips step_height
+# negative (make_tile above).  These are the two failure-frontier families
+# in the X30 termination analysis (98-99% / 97% falls at high levels,
+# docs/evidence/x30_terminations_r04.log).
+DESCENT_FAMILIES = ("rough_slope", "stairs_down")
+
+
+def column_families(cfg) -> list:
+    """Family name per terrain column under the CURRICULUM layout
+    (choice = j/num_cols + 0.001, the Terrain loop below / terrain.py:56).
+
+    Shared by the descent-command clamp (env/legged_env.py) and
+    scripts/analyze_terminations.py so the choice->family dispatch exists
+    once."""
+    props = np.cumsum(np.asarray(cfg.terrain_proportions, dtype=np.float64))
+    props = np.concatenate(
+        [props, np.full(8 - len(props), props[-1] if len(props) else 0)])
+    out = []
+    for j in range(cfg.num_cols):
+        choice = j / cfg.num_cols + 0.001
+        for i, p in enumerate(props):
+            if choice < p:
+                out.append(FAMILIES[i])
+                break
+        else:
+            out.append(FAMILIES[-1])
+    return out
+
+
 _GENERATORS = {
     "pyramid_sloped_terrain": pyramid_sloped_terrain,
     "random_uniform_terrain": random_uniform_terrain,

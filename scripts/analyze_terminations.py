@@ -31,21 +31,7 @@ from deep_tracking_control_tpu.runner import checkpoint as ckpt
 from deep_tracking_control_tpu.tasks.registry import get_cfgs
 from deep_tracking_control_tpu.utils.cli import get_args, update_cfg_from_args
 
-FAMILIES = ["slope", "rough_slope", "stairs_up", "stairs_down",
-            "discrete", "stepping_stones", "gap", "pit"]
-
-
-def col_family(col, num_cols, proportions):
-    """Same choice->generator dispatch as make_tile (generator.py:204-214,
-    curriculum layout choice = j/num_cols + 0.001, generator.py:331)."""
-    choice = col / num_cols + 0.001
-    props = np.cumsum(np.asarray(proportions, dtype=np.float64))
-    props = np.concatenate(
-        [props, np.full(8 - len(props), props[-1] if len(props) else 0)])
-    for i, p in enumerate(props):
-        if choice < p:
-            return FAMILIES[i]
-    return FAMILIES[-1]
+from deep_tracking_control_tpu.terrain.generator import column_families
 
 
 def main():
@@ -133,10 +119,10 @@ def main():
             print(f"  level {i:2d}: ended {int(d):6d}  non-timeout "
                   f"{int(f):6d}  ({100 * f / max(d, 1):.0f}% falls)")
     print("\nterminations by terrain column (type):")
+    fam_by_col = column_families(env.cfg.terrain)
     for i, (d, f) in enumerate(zip(stats["done_by_type"],
                                    stats["fall_by_type"])):
-        name = col_family(i, env.cfg.terrain.num_cols,
-                          env.cfg.terrain.terrain_proportions)
+        name = fam_by_col[i]
         if d > 0:
             print(f"  {name:16s}: ended {int(d):6d}  non-timeout "
                   f"{int(f):6d}  ({100 * f / max(d, 1):.0f}% falls)")

@@ -129,13 +129,13 @@ def main():
           max(0.05 * args.num_envs / 1024, 0.05 + 0.1 * float(
               np.mean(stats_b["done"]))))
 
-    # ---- 3. HW PRNG distribution gate (ops/pallas_rng.py) --------------
+    # ---- 3. HW PRNG distribution gate (experimental/pallas_rng.py) ------
     # The noise STREAM deviates from threefry by design; gate the
     # distribution itself: mean ~0, var ~1/3 (uniform [-1,1)), key and
     # tile decorrelation.  Interpret mode stubs the PRNG, so this only
     # runs on real hardware.
     if jax.default_backend() != "cpu":
-        from deep_tracking_control_tpu.ops import pallas_rng
+        from deep_tracking_control_tpu.experimental import pallas_rng
         u1 = np.asarray(pallas_rng.uniform_pm1(
             jax.random.PRNGKey(11), (4096, 693)))
         u2 = np.asarray(pallas_rng.uniform_pm1(

@@ -30,6 +30,7 @@ def small_env():
     return env, params, state, step, out
 
 
+@pytest.mark.smoke
 def test_obs_layout(small_env):
     """53-d obs layout (dtc.py:259-272): [ang_vel*0.25, gravity, cmd*scale,
     (q-q_def)*1, qd*0.05, actions, foothold(8)].
@@ -77,6 +78,7 @@ def test_privileged_obs_layout(small_env):
         state["height_noise_offset"]))[:, None] + 1e-5)
 
 
+@pytest.mark.smoke
 def test_reset_on_timeout(small_env):
     env, params, state, step, out = small_env
     # force timeout: set episode length near the max
@@ -93,6 +95,7 @@ def test_reset_on_timeout(small_env):
     assert float(out3["metrics"]["n_done"]) == 4.0
 
 
+@pytest.mark.smoke
 def test_step_determinism(small_env):
     env, params, state, step, _ = small_env
     a = 0.3 * jax.random.normal(jax.random.PRNGKey(5), (4, 12))
@@ -233,3 +236,50 @@ def test_debug_viz_renders(tmp_path, small_env):
         np.asarray(d["foot_positions"][0]))
     import os as _os
     assert _os.path.getsize(path) > 5000
+
+
+def test_descent_command_clamp():
+    """CommandsCfg.descent_clamp (round-5 X30 intervention): planar command
+    speed is rescaled to <= descent_clamp ONLY on descent-family columns
+    (rough_slope / stairs_down) at terrain_level >= descent_clamp_level;
+    direction is preserved and all other envs keep their commands."""
+    task, _ = get_cfgs("lite3_dtc")
+    task = dataclasses.replace(
+        task,
+        env=dataclasses.replace(task.env, num_envs=8),
+        commands=dataclasses.replace(task.commands, descent_clamp=0.5,
+                                     descent_clamp_level=3),
+        terrain=dataclasses.replace(
+            task.terrain, num_rows=4, num_cols=4, border_size=4.0,
+            max_init_terrain_level=1,
+            # cols: 0=slope, 1=rough_slope, 2=stairs_up, 3=stairs_down
+            terrain_proportions=(0.25, 0.25, 0.25, 0.25)))
+    env = LeggedEnv(task)
+    assert env._descent_cols is not None
+    np.testing.assert_array_equal(env._descent_cols,
+                                  [False, True, False, True])
+
+    commands = jnp.tile(jnp.asarray([0.6, 0.8, 0.3, 0.0]), (8, 1))  # |v|=1.0
+    types = jnp.asarray([0, 1, 2, 3, 0, 1, 2, 3], jnp.int32)
+    levels = jnp.asarray([3, 3, 3, 3, 2, 2, 2, 2], jnp.int32)
+    out = np.asarray(env._clamp_descent_commands(commands, types, levels))
+
+    speed = np.linalg.norm(out[:, :2], axis=1)
+    # clamped: descent cols at level >= 3 only
+    np.testing.assert_allclose(speed[[1, 3]], 0.5, rtol=1e-6)
+    np.testing.assert_allclose(speed[[0, 2, 4, 5, 6, 7]], 1.0, rtol=1e-6)
+    # direction preserved on the clamped rows
+    np.testing.assert_allclose(out[1, :2] / speed[1],
+                               [0.6, 0.8], rtol=1e-6)
+    # yaw untouched everywhere
+    np.testing.assert_allclose(out[:, 2], 0.3, rtol=1e-6)
+
+    # the x30_dtc_descent task variant wires the clamp in; plain x30_dtc
+    # stays at exact reference command semantics
+    t_desc, _ = get_cfgs("x30_dtc_descent")
+    t_ref, _ = get_cfgs("x30_dtc")
+    assert t_desc.commands.descent_clamp == 0.5
+    assert t_ref.commands.descent_clamp == 0.0
+    assert dataclasses.replace(
+        t_desc, commands=dataclasses.replace(
+            t_desc.commands, descent_clamp=0.0)) == t_ref

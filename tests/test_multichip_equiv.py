@@ -103,6 +103,7 @@ def test_sharded_training_matches_unsharded():
             assert np.all(np.isfinite(v)), (i, k)
 
 
+@pytest.mark.smoke
 def test_sharded_params_close_after_one_update():
     r1 = _make_runner(1)
     r8 = _make_runner(8)

@@ -4,7 +4,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from deep_tracking_control_tpu.ops.pallas_gather import permute_groups
+from deep_tracking_control_tpu.experimental.pallas_gather import permute_groups
 
 
 def _want(x, perm, G):

@@ -1,4 +1,4 @@
-"""Fused obs-assembly kernel (env/pallas_obs.py) vs the XLA math.
+"""Fused obs-assembly kernel (experimental/pallas_obs.py) vs the XLA math.
 
 The TPU interpret mode stubs prng_random_bits to zero bits, which the
 kernel maps to the constant -1.0 — so an exact replica of the XLA obs
@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from deep_tracking_control_tpu.env.legged_env import LeggedEnv
-from deep_tracking_control_tpu.env import pallas_obs
+from deep_tracking_control_tpu.experimental import pallas_obs
 from deep_tracking_control_tpu.tasks.registry import get_cfgs
 
 

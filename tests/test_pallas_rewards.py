@@ -1,4 +1,4 @@
-"""Parity: the fused Pallas reward kernel (env/pallas_rewards.py) vs the
+"""Parity: the fused Pallas reward kernel (experimental/pallas_rewards.py) vs the
 XLA reward stack (env/rewards.py) over every term, the positive clip, the
 termination term, the episode-sum accumulate, and the three stateful
 buffer updates.  Interpret mode (CPU); real-chip Mosaic lowering is
@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from deep_tracking_control_tpu.env import rewards as rew_mod
-from deep_tracking_control_tpu.env.pallas_rewards import compute_rewards_fused
+from deep_tracking_control_tpu.experimental.pallas_rewards import compute_rewards_fused
 
 ALL_NAMES = [n for n in rew_mod.REWARD_FUNCTIONS if n != "termination"]
 

@@ -1,4 +1,4 @@
-"""HW-PRNG noise kernel (ops/pallas_rng.py): plumbing on CPU.
+"""HW-PRNG noise kernel (experimental/pallas_rng.py): plumbing on CPU.
 
 The TPU interpret mode stubs prng_random_bits to zeros, so these tests
 pin shapes, dtype, wiring, and the env integration path; the
@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from deep_tracking_control_tpu.env.legged_env import LeggedEnv
-from deep_tracking_control_tpu.ops import pallas_rng
+from deep_tracking_control_tpu.experimental import pallas_rng
 from deep_tracking_control_tpu.tasks.registry import get_cfgs
 
 

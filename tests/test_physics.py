@@ -134,6 +134,7 @@ def test_drop_settles():
     np.testing.assert_allclose(fz, weight, rtol=0.15)
 
 
+@pytest.mark.smoke
 def test_standing_with_pd():
     """PD controller at default pose keeps the robot upright for 1 s."""
     n = 2

@@ -1,5 +1,6 @@
 """PPO numerics: GAE vs numpy reference, log-prob vs scipy, update smoke."""
 import numpy as np
+import pytest
 import scipy.stats
 
 import jax
@@ -43,6 +44,7 @@ def _gae_numpy(rewards, dones, values, last_values, gamma, lam):
     return returns, advs
 
 
+@pytest.mark.smoke
 def test_gae_matches_reference_numpy():
     rng = np.random.default_rng(0)
     T, N = 24, 16
@@ -88,6 +90,7 @@ def _tiny_net_and_batch(T=8, N=4):
     return net, params, batch
 
 
+@pytest.mark.smoke
 def test_update_changes_params_and_adapts_lr():
     net, params, batch = _tiny_net_and_batch()
     alg = AlgorithmCfg(num_learning_epochs=2, num_mini_batches=2)
@@ -154,6 +157,7 @@ def test_update_with_perm_granule():
         assert np.isfinite(float(stats[k])), k
 
 
+@pytest.mark.smoke
 def test_vae_optimizer_only_touches_vae():
     """The VAE step must not move actor/critic params (ppo.py:79 scoping)."""
     net, params, batch = _tiny_net_and_batch(T=2, N=2)
@@ -297,6 +301,7 @@ def test_joint_forward_matches_separate_passes():
                                rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.smoke
 def test_fused_joint_step_close_to_sequential():
     """fused_joint_step=True takes both grads at the pre-VAE-step params
     (Jacobi ordering) instead of re-running the policy forward after the

@@ -1,6 +1,8 @@
 """Unit tests for quaternion/rotation ops against scipy ground truth."""
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.smoke
 from scipy.spatial.transform import Rotation as R
 
 import jax.numpy as jnp

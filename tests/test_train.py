@@ -37,12 +37,14 @@ def trained_runner():
     return runner
 
 
+@pytest.mark.smoke
 def test_training_updates_params(trained_runner):
     leaves = jax.tree.leaves(trained_runner.params)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert trained_runner.current_learning_iteration == 2
 
 
+@pytest.mark.smoke
 def test_checkpoint_roundtrip(trained_runner, tmp_path):
     runner = trained_runner
     path = os.path.join(str(tmp_path), "model_2")
@@ -72,6 +74,7 @@ def test_inference_policy(trained_runner):
     assert np.all(np.isfinite(np.asarray(actions)))
 
 
+@pytest.mark.smoke
 def test_multichip_dryrun():
     """The FULL sharded train step on all (8 virtual CPU) devices."""
     import sys
@@ -237,6 +240,7 @@ def test_light_checkpoint_roundtrip(trained_runner, tmp_path):
                for l in jax.tree.leaves(runner2.params))
 
 
+@pytest.mark.smoke
 def test_strict_parity_switch(monkeypatch):
     """DTC_STRICT_PARITY=1 flips every deliberate reference-semantics
     deviation off at once (VERDICT r4 item 8): sequential update ordering,
@@ -282,6 +286,7 @@ def test_strict_parity_switch(monkeypatch):
     assert batch["obs_history"].dtype == jnp.float32
 
 
+@pytest.mark.smoke
 def test_block_dispatch_matches_single(tmp_path):
     """iters_per_dispatch=K chains K train iterations into one program
     (lax.scan over train_iter); the in-graph key chain makes the math

@@ -34,6 +34,11 @@ def main():
         train_cfg = dataclasses.replace(
             train_cfg, algorithm=dataclasses.replace(
                 train_cfg.algorithm, fused_joint_step=True))
+    if "BENCH_SHUFFLE_STRATA" in os.environ:              # A/B hook
+        train_cfg = dataclasses.replace(
+            train_cfg, algorithm=dataclasses.replace(
+                train_cfg.algorithm, shuffle_strata=int(
+                    os.environ["BENCH_SHUFFLE_STRATA"])))
     if "BENCH_ITERS_PER_DISPATCH" in os.environ:          # A/B hook
         try:
             k_override = int(os.environ["BENCH_ITERS_PER_DISPATCH"])

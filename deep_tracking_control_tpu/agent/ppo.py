@@ -254,7 +254,6 @@ class PPO:
         total = T * N
         nmb = alg.num_mini_batches
         mb_size = total // nmb
-        flat = jax.tree.map(lambda x: x.reshape((total,) + x.shape[2:]), batch)
 
         k_perm, k_upd = jax.random.split(key)
         # ONE permutation reused across epochs (rollout_storage.py:165
@@ -266,30 +265,78 @@ class PPO:
         # are issue-bound on tiny rows, so widening each transfer G-fold
         # takes the shuffle from ~12 ms to ~1 ms at 4096 envs (see
         # AlgorithmCfg.minibatch_perm_granule; PARITY.md "Known deviations").
+        #
+        # The permutation is STRATIFIED into S env-block strata
+        # (AlgorithmCfg.shuffle_strata): rows live in an (S, T*N/S)
+        # layout, each stratum draws its own group permutation, and every
+        # minibatch takes an equal contiguous per-stratum slice.  With
+        # the env axis sharded over D | S devices the shuffle gather
+        # never crosses a device boundary, so the update runs
+        # data-parallel — per-device HLO shows one gradient all-reduce
+        # per minibatch step instead of GSPMD all-gathering the whole
+        # rollout and replicating the update
+        # (tests/test_multichip_scaling.py).  S=1 reproduces the single
+        # global permutation exactly.
         import math
-        import os
+        from ..utils.flags import kernel_flag, strict_parity
+        S = 1 if strict_parity() else math.gcd(
+            max(int(alg.shuffle_strata), 1), N)
+        # per-stratum minibatch slices must be whole: shrink S through the
+        # divisors of N until nmb divides the per-stratum row count
+        while S > 1 and (total // S) % nmb:
+            S -= 1
+            while N % S:
+                S -= 1
+        rows_s = total // S                    # rows per stratum
+        mb_s = rows_s // nmb                   # minibatch rows per stratum
         # the configured granule is a CAP: the effective granule is its gcd
-        # with the minibatch size so tiny test batches stay valid
-        G = math.gcd(max(int(alg.minibatch_perm_granule), 1), mb_size)
-        perm = jax.random.permutation(k_perm, total // G)[:nmb * mb_size // G]
+        # with the per-stratum minibatch slice so tiny batches stay valid
+        G = math.gcd(max(int(alg.minibatch_perm_granule), 1), mb_s)
         # Measured on v5e at 4096 envs (scripts/profile_update_chain.py):
         # G=1 XLA 90.2 ms/update, G=16 XLA 82.8, G=16 Pallas DMA 84.8 —
         # the grouping is the win (wide rows amortize the per-row issue
         # cost) and XLA's gather on 16-row groups already runs at
-        # bandwidth, so the Pallas kernel (experimental/pallas_gather.py) stays
-        # opt-in for A/B (DTC_PALLAS_GATHER=1).
-        from ..utils.flags import kernel_flag
-        use_dma = (kernel_flag("DTC_PALLAS_GATHER", "0")
-                   and jax.default_backend() != "cpu")
-        if use_dma:
-            from ..experimental.pallas_gather import permute_groups
-            flat = permute_groups(flat, perm, G)
-        else:
+        # bandwidth, so the Pallas kernel (experimental/pallas_gather.py)
+        # stays opt-in for A/B (DTC_PALLAS_GATHER=1; S=1 layout only).
+        if S == 1:
+            # exact round-4 single-permutation path (same RNG stream, same
+            # HLO): flatten (total,), one global group permutation, then
+            # view as (1, total) for the unified minibatch slicing below
             flat = jax.tree.map(
-                lambda x: x.reshape((total // G, G) + x.shape[1:])[perm]
-                           .reshape((nmb * mb_size,) + x.shape[1:]),
+                lambda x: x.reshape((total,) + x.shape[2:]), batch)
+            perm = jax.random.permutation(k_perm, total // G)
+            use_dma = (kernel_flag("DTC_PALLAS_GATHER", "0")
+                       and jax.default_backend() != "cpu")
+            if use_dma:
+                from ..experimental.pallas_gather import permute_groups
+                flat = permute_groups(flat, perm, G)
+            else:
+                flat = jax.tree.map(
+                    lambda x: x.reshape((total // G, G) + x.shape[1:])[perm]
+                               .reshape((total,) + x.shape[1:]),
+                    flat)
+            flat = jax.tree.map(lambda x: x[None], flat)   # (1, total, ...)
+        else:
+            # (S, rows_s, ...): stratum s = env block [s*N/S, (s+1)*N/S)
+            # over all T timesteps, flattened time-major like S=1; each
+            # stratum draws its own group permutation (device-local under
+            # env-axis sharding with D | S)
+            flat = jax.tree.map(
+                lambda x: x.reshape((T, S, N // S) + x.shape[2:])
+                           .swapaxes(0, 1)
+                           .reshape((S, rows_s) + x.shape[2:]),
+                batch)
+            perm = jax.vmap(
+                lambda k: jax.random.permutation(k, rows_s // G))(
+                jax.random.split(k_perm, S))       # (S, rows_s // G)
+            flat = jax.tree.map(
+                lambda x: jnp.take_along_axis(
+                    x.reshape((S, rows_s // G, G) + x.shape[2:]),
+                    perm.reshape((S, rows_s // G)
+                                 + (1,) * (x.ndim - 1)),
+                    axis=1).reshape((S, rows_s) + x.shape[2:]),
                 flat)
-        offsets = jnp.tile(jnp.arange(nmb) * mb_size,
+        offsets = jnp.tile(jnp.arange(nmb) * mb_s,
                            alg.num_learning_epochs)
 
         def pol_terms(mean, std, value, mb):
@@ -326,8 +373,11 @@ class PPO:
         def minibatch_step(carry, xs):
             params, opt_state, vae_opt_state, lr = carry
             start, k = xs
+            # equal per-stratum slices, merged over the stratum axis into
+            # the (mb_size, ...) minibatch (S=1: a plain contiguous slice)
             mb = jax.tree.map(
-                lambda x: jax.lax.dynamic_slice_in_dim(x, start, mb_size, 0),
+                lambda x: jax.lax.dynamic_slice_in_dim(x, start, mb_s, 1)
+                             .reshape((mb_size,) + x.shape[2:]),
                 flat)
             k_vae, k_pol = jax.random.split(k)
 

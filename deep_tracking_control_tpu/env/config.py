@@ -340,6 +340,30 @@ class AlgorithmCfg:
     # commands / phases), but the TPU row gather shrinks from T*N tiny
     # transfers to T*N/G large ones.  Deviation documented in PARITY.md.
     minibatch_perm_granule: int = 1
+    # Minibatch-shuffle stratification (multi-chip data parallelism).
+    # The flat (T*N) batch is split into S env-block strata and the
+    # permutation is drawn independently WITHIN each stratum; every
+    # minibatch takes an equal per-stratum slice.  With the env axis
+    # sharded over D devices and D | S, the shuffle gather stays
+    # device-LOCAL, so the PPO update runs data-parallel with one
+    # gradient all-reduce per minibatch step — instead of GSPMD
+    # all-gathering the whole rollout (~36 all-gathers, update then
+    # replicated on every chip; observed in the compiled HLO,
+    # tests/test_multichip_scaling.py).  The estimator is a uniformly
+    # random partition stratified by env block — same spirit as the
+    # G-grouping above; PARITY.md "Known deviations".  The value is a
+    # CAP: the effective S is its gcd with the env count, further
+    # reduced until per-stratum minibatch slices stay group-aligned.
+    # S=1 reproduces the single global permutation exactly.  S is a
+    # STATIC config (not derived from the mesh) so a 1-device and a
+    # D-device run of the same config draw the same minibatch partition
+    # and stay bit-comparable (tests/test_multichip_equiv.py).
+    # Default 1 until the single-chip on-TPU bench of the stratified
+    # gather lands (CLAUDE.md process rule: no default-path flip without
+    # a same-day TPU bench); multi-chip runs should set 8 (or the mesh
+    # env-shard count) — tests/test_multichip_scaling.py pins the
+    # data-parallel lowering at S=8.
+    shuffle_strata: int = 1
     # Fused VAE+policy minibatch step (decoder policy only).  False = the
     # reference's sequential semantics: VAE loss f/b, VAE optimizer step,
     # then the policy f/b re-runs the (updated) cenet/terrain encoders

@@ -41,7 +41,7 @@ class OnPolicyRunner:
             import dataclasses as _dc
             train_cfg = _dc.replace(train_cfg, algorithm=_dc.replace(
                 train_cfg.algorithm, fused_joint_step=False,
-                minibatch_perm_granule=1))
+                minibatch_perm_granule=1, shuffle_strata=1))
         self.cfg = train_cfg
         self.log_dir = log_dir
         if mesh is None:

@@ -59,9 +59,14 @@ def test_realistic_ratio_sharding_and_collectives():
                                     border_size=4.0,
                                     max_init_terrain_level=2))
     # full T=24 and the real 5x4 minibatch structure; perf_split exposes
-    # the collection and update programs separately for HLO inspection
+    # the collection and update programs separately for HLO inspection.
+    # shuffle_strata=8: the multi-chip configuration this test certifies
+    # (with the default global shuffle GSPMD all-gathers the rollout and
+    # replicates the update on every device)
     train = dataclasses.replace(
-        train, runner=dataclasses.replace(train.runner, perf_split=True))
+        train,
+        runner=dataclasses.replace(train.runner, perf_split=True),
+        algorithm=dataclasses.replace(train.algorithm, shuffle_strata=8))
     env = LeggedEnv(task)
     mesh = pmesh.make_mesh(jax.devices()[:8])
     runner = OnPolicyRunner(env, train, log_dir=None, mesh=mesh)
@@ -95,11 +100,18 @@ def test_realistic_ratio_sharding_and_collectives():
     upd_args = (runner.params, runner.opt_state, runner.vae_opt_state,
                 runner.learning_rate, batch, jax.random.PRNGKey(1))
     uhlo = runner._update_fn.lower(*upd_args).compile().as_text()
-    # gradient sync must exist...
+    # The stratified shuffle (AlgorithmCfg.shuffle_strata) keeps the
+    # minibatch gather device-local, so the update must run DATA-PARALLEL:
+    # gradient all-reduce present, and no all-gather/all-to-all of rollout
+    # sized tensors (the pre-strata lowering all-gathered the entire batch
+    # — 36 all-gathers — and replicated the update on every device).
     assert _ALL_REDUCE.search(uhlo), "update program never all-reduces"
-    # ...and the cross-env shuffle must not lower to all-to-all
     a2a = [ln.strip() for ln in uhlo.splitlines() if "all-to-all" in ln]
     assert not a2a, "update program uses all-to-all:\n" + "\n".join(a2a[:8])
+    big_ag = [ln.strip() for ln in uhlo.splitlines()
+              if re.search(r"\ball-gather\b", ln) and _elements(ln) > 10 ** 6]
+    assert not big_ag, ("update program all-gathers rollout-sized "
+                        "tensors:\n" + "\n".join(big_ag[:8]))
 
     # the full-shape update executes and stays finite
     out = runner._update_fn(*upd_args)

@@ -134,6 +134,47 @@ def test_update_disable_hooks():
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.smoke
+def test_shuffle_strata_partition_invariance():
+    """Stratified shuffle (AlgorithmCfg.shuffle_strata): with ONE
+    minibatch per epoch the partition is trivial — every row lands in the
+    single minibatch whatever S is — and all loss terms are means over
+    rows, so the RNG-free part of the update (critic path; the VAE/actor
+    reparam draws pair noise with POSITIONS, not row identities, so they
+    are stubbed via the elimination hooks) must agree across S up to
+    reduction order.  This pins the stratified layout/gather math to the
+    S=1 (reference-exact) path."""
+    net, params, batch = _tiny_net_and_batch(T=8, N=4)
+    outs = []
+    for strata in (1, 4):
+        alg = AlgorithmCfg(num_learning_epochs=2, num_mini_batches=1,
+                           shuffle_strata=strata, fused_joint_step=False)
+        ppo = PPO(net=net, alg=alg, disable=("vae", "actor"))
+        main_opt, vae_opt = make_optimizers(alg)
+        outs.append(jax.jit(ppo.update)(
+            params, main_opt.init(params), vae_opt.init(params),
+            jnp.asarray(alg.learning_rate), batch, jax.random.PRNGKey(2)))
+    # bf16 network compute makes row order visible at ~1e-5 absolute
+    # (reduction-order noise through 2 Adam steps); a layout/partition BUG
+    # (wrong/duplicated rows) shifts params at the 1e-3 gradient scale
+    for a, b in zip(jax.tree.leaves(outs[0][0]), jax.tree.leaves(outs[1][0])):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=5e-2, atol=1e-4)
+    # and a real multi-minibatch stratified update trains finitely
+    alg = AlgorithmCfg(num_learning_epochs=2, num_mini_batches=2,
+                       shuffle_strata=4, minibatch_perm_granule=2)
+    ppo = PPO(net=net, alg=alg)
+    main_opt, vae_opt = make_optimizers(alg)
+    new_params, _, _, _, stats = jax.jit(ppo.update)(
+        params, main_opt.init(params), vae_opt.init(params),
+        jnp.asarray(alg.learning_rate), batch, jax.random.PRNGKey(3))
+    assert all(np.isfinite(float(v)) for v in stats.values())
+    diff = max(float(jnp.max(jnp.abs(a - b))) for a, b in
+               zip(jax.tree.leaves(params), jax.tree.leaves(new_params)))
+    assert diff > 0
+
+
 def test_update_with_perm_granule():
     """Group-granule shuffle (minibatch_perm_granule > 1) runs the same
     update pipeline: params move, stats stay finite, and the adaptive LR

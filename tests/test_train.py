@@ -274,6 +274,7 @@ def test_strict_parity_switch(monkeypatch):
     # rollout_storage.py:165 per-row permutation)
     assert runner.cfg.algorithm.fused_joint_step is False
     assert runner.cfg.algorithm.minibatch_perm_granule == 1
+    assert runner.cfg.algorithm.shuffle_strata == 1
     # f32 rollout storage (rollout_storage.py:30-60): inspect the actual
     # collection output through the perf_split two-program path
     runner.learn(1, log_every=10**9)

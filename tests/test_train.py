@@ -309,3 +309,43 @@ def test_block_dispatch_matches_single(tmp_path):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_block_dispatch_save_boundaries(tmp_path):
+    """Block dispatch + periodic saves (VERDICT r4 weak-item 7): with
+    log_dir set, blocks may only END on a save iteration, so model_{j}
+    always holds the params from right after iteration j.  Drive
+    learn(10) with save_interval=4 and K=3 against a K=1 reference run
+    with the same seed and compare every checkpoint bitwise."""
+    from deep_tracking_control_tpu.runner import checkpoint as ckpt
+
+    def run(k_block, log_dir):
+        task, train = _tiny()
+        train = dataclasses.replace(
+            train, runner=dataclasses.replace(
+                train.runner, iters_per_dispatch=k_block, save_interval=4))
+        runner = OnPolicyRunner(LeggedEnv(task), train, log_dir=log_dir)
+        runner.learn(10, log_every=10**9)
+        assert runner.current_learning_iteration == 10
+        return runner
+
+    d1 = os.path.join(str(tmp_path), "k1")
+    d3 = os.path.join(str(tmp_path), "k3")
+    os.makedirs(d1), os.makedirs(d3)
+    run(1, d1)
+    run(3, d3)
+
+    for d in (d1, d3):
+        saved = sorted(f for f in os.listdir(d) if f.startswith("model_"))
+        # light saves at the save_interval boundaries + the final full save
+        assert saved == ["model_0", "model_10", "model_4", "model_8"], (d, saved)
+
+    for name in ("model_0", "model_4", "model_8", "model_10"):
+        t1 = ckpt.load_raw(os.path.join(d1, name))
+        t3 = ckpt.load_raw(os.path.join(d3, name))
+        for a, b in zip(jax.tree.leaves(t1["params"]),
+                        jax.tree.leaves(t3["params"])):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=2e-5, atol=2e-6,
+                                       err_msg=name)

@@ -12,6 +12,9 @@
 #          runner.load).
 #
 # Usage: scripts/train_x30_staged.sh [LOG_ROOT] [ROUGH_ITERS] [DTC_ITERS]
+# DTC_TASK=x30_dtc_descent switches stage 2 to the descent-clamp variant
+# (round-5 intervention for the stairs_down/rough_slope failure frontier;
+# same obs/reward semantics, so checkpoints transfer both ways).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -19,6 +22,7 @@ LOG_ROOT="${1:-logs}"
 ROUGH_ITERS="${2:-4000}"
 DTC_ITERS="${3:-30000}"
 NUM_ENVS="${NUM_ENVS:-4096}"
+DTC_TASK="${DTC_TASK:-x30_dtc}"
 
 echo "=== stage 1: x30_rough ${ROUGH_ITERS} iters ==="
 python scripts/train.py --task x30_rough --num_envs "$NUM_ENVS" \
@@ -31,7 +35,7 @@ mkdir -p "$LOG_ROOT/x30_dtc"
 ln -sfn "$(cd "$LOG_ROOT/rough_X30/$ROUGH_RUN" && pwd)" \
     "$LOG_ROOT/x30_dtc/$ROUGH_RUN"
 
-echo "=== stage 2: x30_dtc ${DTC_ITERS} iters (resume from rough) ==="
-python scripts/train.py --task x30_dtc --num_envs "$NUM_ENVS" \
+echo "=== stage 2: $DTC_TASK ${DTC_ITERS} iters (resume from rough) ==="
+python scripts/train.py --task "$DTC_TASK" --num_envs "$NUM_ENVS" \
     --max_iterations "$DTC_ITERS" --log_root "$LOG_ROOT" \
     --resume --load_run "$ROUGH_RUN"

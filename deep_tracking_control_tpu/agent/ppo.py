@@ -411,6 +411,12 @@ class PPO:
                         mb["next_obs"], mb["base_vel"], k_vae,
                         method=self.net.vae_losses)
                     loss = recons + vel + alg.kld_weight * kld + height
+                    if alg.belief_loss_coef > 0.0:
+                        # belief distillation (config.py belief_loss_coef;
+                        # trace-time gate keeps the default HLO unchanged)
+                        loss = loss + alg.belief_loss_coef * self.net.apply(
+                            p, mb["obs_history"], mb["privileged_obs"],
+                            method=self.net.belief_loss)
                     return loss, (recons, vel, kld, height)
 
                 def pol_loss_fn(p):
@@ -438,6 +444,12 @@ class PPO:
                             mb["next_obs"], mb["base_vel"], k_vae,
                             method=self.net.vae_losses)
                         loss = recons + vel + alg.kld_weight * kld + height
+                        if alg.belief_loss_coef > 0.0:
+                            loss = (loss + alg.belief_loss_coef
+                                    * self.net.apply(
+                                        p, mb["obs_history"],
+                                        mb["privileged_obs"],
+                                        method=self.net.belief_loss))
                         return loss, (recons, vel, kld, height)
 
                     (vae_loss, (recons_l, vel_l, kld_l, height_l)), \

@@ -331,6 +331,19 @@ class AlgorithmCfg:
     desired_kl: float = 0.01
     max_grad_norm: float = 1.0
     kld_weight: float = 4.0               # ppo.py:247
+    # Belief-distillation loss weight (NO reference analog; default 0 =
+    # exact reference semantics).  The reference's act_teacher deploys
+    # through b_t = b_t1 + l_t*b_t1 from vae.memory_mlp, but NO loss
+    # touches that module — its params stay at init, so the deployed
+    # actor sees a random small-scale feature where training fed raw l_t
+    # (update_distribution :431).  Policies vary in robustness to the
+    # swap: the round-5 X30 run lost 3x episode length through
+    # act_teacher while the raw-l_t path walked fine (CLAUDE.md).  With
+    # weight w > 0 the VAE step adds w * mse(b_t, stop_grad(l_t)),
+    # training the belief head to reconstruct the terrain latent from
+    # history (the classic belief-state distillation) so act_teacher
+    # matches the training-path actor at convergence.
+    belief_loss_coef: float = 0.0
     # Minibatch shuffle granularity.  1 = exact reference semantics
     # (rollout_storage.py:165 randperm over individual transitions).
     # G > 1 permutes GROUPS of G flat-adjacent transitions (same timestep,

@@ -278,13 +278,34 @@ class ActorCriticDecoder(nn.Module):
 
     def act_teacher(self, obs, obs_history, privileged_obs):
         """Deterministic teacher policy for eval/deployment (:504-538):
-        uses latent mu (no sampling) and the belief-encoder path."""
+        uses latent mu (no sampling) and the belief-encoder path.
+
+        REFERENCE QUIRK reproduced faithfully: training optimizes the
+        actor with RAW l_t in the last input slot (update_distribution
+        :431) but act_teacher substitutes b_t = b_t1 + l_t*b_t1 from the
+        belief memory_mlp — whose parameters receive gradients from
+        NEITHER optimizer (no loss touches vae.belief), so b_t is a
+        random small-scale feature of (hist, l_t).  How robust a trained
+        policy is to this l_t -> b_t swap varies run to run; use
+        act_deterministic for the training-consistent input layout."""
         e = self.vae.cenet_encoder(obs_history)
         latent = self.vae.latent_mu(e)
         l_t = self.vae.encode_terrain(privileged_obs[..., :self.terrain_dim])
         b_t = self.vae.belief(obs_history, l_t)
         return self.actor_body(_bf16_concat(
             obs, latent[..., 3:], latent[..., :3], b_t))             # :520
+
+    def act_deterministic(self, obs, obs_history, privileged_obs):
+        """Deterministic actor on the TRAINING input layout: latent means
+        (no reparameterized sample) + RAW l_t — exactly the feature
+        layout update_distribution (:431) optimizes, minus the sampling
+        noise.  No reference analog (the reference evaluates only via
+        act_teacher's belief substitution, see above)."""
+        e = self.vae.cenet_encoder(obs_history)
+        latent = self.vae.latent_mu(e)
+        l_t = self.vae.encode_terrain(privileged_obs[..., :self.terrain_dim])
+        return self.actor_body(_bf16_concat(
+            obs, latent[..., 3:], latent[..., :3], l_t))
 
     def evaluate(self, obs, privileged_obs, base_vel):
         """Critic (evaluate, :540-551): [obs, base_vel, force(3), clean
@@ -309,6 +330,18 @@ class ActorCriticDecoder(nn.Module):
         kld = jnp.mean(-0.5 * jnp.sum(
             1 + logvar - jnp.square(mu[..., 3:]) - jnp.exp(logvar), axis=-1))
         return recons_loss, vel_loss, kld, height_loss
+
+    def belief_loss(self, obs_history, privileged_obs):
+        """Belief-distillation loss (AlgorithmCfg.belief_loss_coef; no
+        reference analog): train vae.memory_mlp so the deployment-path
+        belief b_t reconstructs the terrain latent the actor was trained
+        on.  l_t is stop-gradiented as both input and target, so only the
+        memory_mlp moves — the terrain encoder keeps its reference
+        training signal."""
+        l_t = jax.lax.stop_gradient(
+            self.vae.encode_terrain(privileged_obs[..., :self.terrain_dim]))
+        b_t = self.vae.belief(obs_history, l_t)
+        return jnp.mean(jnp.square(b_t - l_t))
 
     def joint_forward(self, obs, obs_history, privileged_obs, next_obs,
                       base_vel, k_vae, k_pol):

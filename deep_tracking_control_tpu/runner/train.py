@@ -700,9 +700,11 @@ class OnPolicyRunner:
                 return mean, (ca, cc)
             return policy
 
+        method = net.act_teacher if teacher else net.act_deterministic
+
         @jax.jit
         def policy(obs, obs_history, privileged_obs):
             return net.apply(params, obs, obs_history, privileged_obs,
-                             method=net.act_teacher)
+                             method=method)
 
         return policy

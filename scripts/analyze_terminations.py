@@ -61,7 +61,11 @@ def main():
                               train_cfg.runner.checkpoint)
     print(f"Loading policy from {path}", flush=True)
     runner.load(path, load_optimizer=False)
-    policy = runner.get_inference_policy(teacher=True)
+    # DTC_EVAL_RAW_LT=1 evaluates on the TRAINING input layout
+    # (act_deterministic: raw l_t) instead of the reference's
+    # act_teacher belief substitution — see networks.act_teacher.
+    policy = runner.get_inference_policy(
+        teacher=os.environ.get("DTC_EVAL_RAW_LT", "0") != "1")
     params, state = runner.env_params, runner.env_state
     if args.level >= 0:
         state = {**state, "terrain_levels":

@@ -68,7 +68,11 @@ def evaluate(args, num_envs=None, steps=None, difficulty=0.45):
                               train_cfg.runner.checkpoint)
     print(f"Loading policy from {path}", flush=True)
     runner.load(path, load_optimizer=False)
-    policy = runner.get_inference_policy(teacher=True)
+    # DTC_EVAL_RAW_LT=1 evaluates on the TRAINING input layout
+    # (act_deterministic: raw l_t) instead of the reference's
+    # act_teacher belief substitution — see networks.act_teacher.
+    policy = runner.get_inference_policy(
+        teacher=os.environ.get("DTC_EVAL_RAW_LT", "0") != "1")
 
     N = env.num_envs
     # base_vel in step outputs carries the obs scaling; un-scale with the

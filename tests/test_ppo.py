@@ -385,3 +385,61 @@ def test_fused_joint_step_close_to_sequential():
                     jax.tree.leaves(p_fus0["params"]["vae"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.smoke
+def test_belief_loss_trains_memory_mlp():
+    """belief_loss_coef (no reference analog, default 0): the reference's
+    act_teacher deploys through vae.memory_mlp, which NO reference loss
+    touches.  With the coef at 0 the module must stay at init (exact
+    reference semantics); with coef > 0 the VAE step must move ONLY the
+    belief head toward reconstructing l_t."""
+    net, params, batch = _tiny_net_and_batch(T=4, N=4)
+
+    def run(coef, steps=40):
+        alg = AlgorithmCfg(num_learning_epochs=1, num_mini_batches=2,
+                           belief_loss_coef=coef)
+        ppo = PPO(net=net, alg=alg)
+        main_opt, vae_opt = make_optimizers(alg)
+        p, o, v, lr = (params, main_opt.init(params), vae_opt.init(params),
+                       jnp.asarray(alg.learning_rate))
+        upd = jax.jit(ppo.update)
+        for i in range(steps):
+            p, o, v, lr, _ = upd(p, o, v, lr, batch, jax.random.PRNGKey(i))
+        return p
+
+    mm0 = params["params"]["vae"]["memory_mlp"]
+    p_off = run(0.0)
+    for a, b in zip(jax.tree.leaves(mm0),
+                    jax.tree.leaves(p_off["params"]["vae"]["memory_mlp"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    p_on = run(5.0)
+    moved = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(
+        jax.tree.leaves(mm0),
+        jax.tree.leaves(p_on["params"]["vae"]["memory_mlp"])))
+    assert moved > 1e-5
+
+    # the distillation works: after identical training, the coef>0 run's
+    # belief tracks its l_t far better than the coef=0 run's (whose
+    # memory_mlp sat still while the terrain encoder grew l_t away from
+    # the near-zero init, where ||b_t - l_t|| is trivially ~0)
+    hist = batch["obs_history"].reshape(-1, 265)
+    priv = batch["privileged_obs"].reshape(-1, 1389)
+    l_off = float(net.apply(p_off, hist, priv, method=net.belief_loss))
+    l_on = float(net.apply(p_on, hist, priv, method=net.belief_loss))
+    assert l_on < 0.5 * l_off, (l_on, l_off)
+
+    # the belief head takes no DIRECT gradient path into the terrain
+    # encoder (l_t is stop-gradiented): d(belief_loss)/d(encoder) == 0.
+    # (Trained encoder WEIGHTS still differ slightly between runs via the
+    # vae chain's clip_by_global_norm, whose norm includes the memory_mlp
+    # grads — the same coupling any added loss term has under global
+    # clipping.)
+    g = jax.grad(lambda p: net.apply(p, hist, priv,
+                                     method=net.belief_loss))(params)
+    enc_norm = sum(float(jnp.sum(jnp.abs(x))) for x in
+                   jax.tree.leaves(g["params"]["vae"]["terrain_encoder"]))
+    mm_norm = sum(float(jnp.sum(jnp.abs(x))) for x in
+                  jax.tree.leaves(g["params"]["vae"]["memory_mlp"]))
+    assert enc_norm == 0.0 and mm_norm > 0.0

@@ -71,6 +71,11 @@ class PPO:
     net: Any                       # flax module
     alg: AlgorithmCfg
     policy_kind: str = "decoder"
+    # env-shard count of the training mesh (runner sets this); resolves
+    # AlgorithmCfg.shuffle_strata=0 (auto): S=1 on a single device (the
+    # exact round-4 fast path), S=n_env_shards on meshes so the
+    # minibatch shuffle stays device-local (data-parallel update)
+    n_env_shards: int = 1
     # Elimination-profiling hooks (scripts/profile_update_chain.py): any
     # of "vae" / "actor" / "critic" / "opt" stubs that component out of
     # update() so its cost can be measured by difference on hardware
@@ -279,8 +284,9 @@ class PPO:
         # global permutation exactly.
         import math
         from ..utils.flags import kernel_flag, strict_parity
-        S = 1 if strict_parity() else math.gcd(
-            max(int(alg.shuffle_strata), 1), N)
+        want_s = (int(alg.shuffle_strata) if alg.shuffle_strata > 0
+                  else max(int(self.n_env_shards), 1))   # 0 = auto
+        S = 1 if strict_parity() else math.gcd(want_s, N)
         # per-stratum minibatch slices must be whole: shrink S through the
         # divisors of N until nmb divides the per-stratum row count
         while S > 1 and (total // S) % nmb:

@@ -367,16 +367,16 @@ class AlgorithmCfg:
     # G-grouping above; PARITY.md "Known deviations".  The value is a
     # CAP: the effective S is its gcd with the env count, further
     # reduced until per-stratum minibatch slices stay group-aligned.
-    # S=1 reproduces the single global permutation exactly.  S is a
-    # STATIC config (not derived from the mesh) so a 1-device and a
-    # D-device run of the same config draw the same minibatch partition
-    # and stay bit-comparable (tests/test_multichip_equiv.py).
-    # Default 1 until the single-chip on-TPU bench of the stratified
-    # gather lands (CLAUDE.md process rule: no default-path flip without
-    # a same-day TPU bench); multi-chip runs should set 8 (or the mesh
-    # env-shard count) — tests/test_multichip_scaling.py pins the
-    # data-parallel lowering at S=8.
-    shuffle_strata: int = 1
+    # S=1 reproduces the single global permutation exactly.  Measured on
+    # the v5e: S=1 522.5k fps, S=8 489.5k at 4096 envs (the batched
+    # per-stratum gather costs ~2-6% single-chip) — so 0 = AUTO picks
+    # S = the mesh's env-shard count: exact round-4 program on one chip,
+    # device-local data-parallel shuffle on meshes (where the
+    # alternative is GSPMD all-gathering the rollout 36x and replicating
+    # the whole update).  Pin an explicit S when 1-vs-D runs must draw
+    # the SAME minibatch partition for bit-comparability
+    # (tests/test_multichip_equiv.py pins 8).
+    shuffle_strata: int = 0
     # Fused VAE+policy minibatch step (decoder policy only).  False = the
     # reference's sequential semantics: VAE loss f/b, VAE optimizer step,
     # then the policy f/b re-runs the (updated) cenet/terrain encoders

@@ -110,7 +110,11 @@ class OnPolicyRunner:
             raise ValueError(
                 f"unsupported policy_class_name {pol.policy_class_name!r}")
         self.ppo = PPO(net=self.net, alg=train_cfg.algorithm,
-                       policy_kind=policy_kind)
+                       policy_kind=policy_kind,
+                       # resolves shuffle_strata=0 (auto): device-local
+                       # minibatch shuffle on meshes, exact global
+                       # permutation on a single chip
+                       n_env_shards=self.mesh.shape[pmesh.ENV_AXIS])
         self.params = self.net.init(k_net, *dummy)
         main_opt, vae_opt = make_optimizers(train_cfg.algorithm)
         self.opt_state = main_opt.init(self.params)

@@ -38,7 +38,12 @@ def _tiny(num_envs=16, T=4):
         runner=dataclasses.replace(train.runner, num_steps_per_env=T),
         algorithm=dataclasses.replace(train.algorithm,
                                       num_learning_epochs=1,
-                                      num_mini_batches=2))
+                                      num_mini_batches=2,
+                                      # pin an explicit stratum count so
+                                      # the 1-dev and 8-dev runs draw the
+                                      # SAME minibatch partition (auto
+                                      # would give S=1 vs S=8)
+                                      shuffle_strata=8))
     return task, train
 
 
@@ -111,4 +116,12 @@ def test_sharded_params_close_after_one_update():
     _run_iters(r8, 1)
     for a, b in zip(jax.tree.leaves(r1.params), jax.tree.leaves(r8.params)):
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
-        np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-4)
+        # atol raised 2e-4 -> 2e-3 for the stratified shuffle: the
+        # device-local gather changes bf16 reduction orders at shard
+        # boundaries, and Adam's sqrt(v) normalization amplifies
+        # near-zero-grad coordinates up to the lr scale (observed: a few
+        # isolated elements at 5e-4..1.1e-3 of 299k).  This check guards
+        # gross layout divergence; the tight equivalence gate is the
+        # loss-trajectory comparison in
+        # test_sharded_training_matches_unsharded.
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-3)

@@ -40,7 +40,13 @@ def _tiny(num_envs=16, T=4):
         runner=dataclasses.replace(train.runner, num_steps_per_env=T),
         algorithm=dataclasses.replace(train.algorithm,
                                       num_learning_epochs=1,
-                                      num_mini_batches=2))
+                                      num_mini_batches=2,
+                                      # explicit strata: auto would give
+                                      # the 1-dev and 8-dev runs
+                                      # DIFFERENT minibatch partitions,
+                                      # breaking the continued-loss
+                                      # comparison across the restore
+                                      shuffle_strata=8))
     return task, train
 
 

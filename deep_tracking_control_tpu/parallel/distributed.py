@@ -56,3 +56,28 @@ def initialize(coordinator_address: str | None = None,
 def global_mesh():
     """1-D env-axis mesh over every device of every process."""
     return pmesh.make_mesh(jax.devices())
+
+
+def warmup_collectives(mesh=None):
+    """Create the cross-process collective contexts while every process is
+    still synchronized at init.
+
+    The first collective of a jitted program materializes the backend's
+    communicator for its device group lazily AT EXECUTION TIME (gloo on
+    CPU rehearsal clusters, with ~30 s connect/KV handshake deadlines).
+    If the first collective sits behind a multi-minute program compile,
+    processes reach it at different times — whichever arrives first times
+    out waiting for peers that are still compiling (observed: the round-5
+    stratified update pushed compile skew past the deadline and the
+    2-process rehearsal test deadlocked in gloo setup).  A trivial
+    replicated-sum here compiles in milliseconds, so all processes hit
+    the group's first collective together; later program collectives
+    reuse the established pairs.  Call right after initialize()."""
+    import jax.numpy as jnp
+
+    mesh = mesh if mesh is not None else global_mesh()
+    x = jax.jit(
+        lambda: jnp.ones((len(mesh.devices.flat),), jnp.float32),
+        out_shardings=pmesh.env_leading(mesh))()
+    total = jax.jit(jnp.sum, out_shardings=pmesh.replicated(mesh))(x)
+    jax.block_until_ready(jax.device_get(total))

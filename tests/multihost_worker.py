@@ -20,6 +20,11 @@ def main():
     distributed.initialize(f"localhost:{port}", num_processes, process_id)
     assert jax.process_count() == num_processes, jax.process_count()
     assert jax.device_count() == 4 * num_processes
+    # establish the gloo contexts while both processes are in lock-step
+    # (the training program's first collective otherwise sits behind a
+    # multi-minute compile whose skew exceeds gloo's 30 s handshake)
+    distributed.warmup_collectives()
+    print(f"[{process_id}] collectives warm", flush=True)
 
     from deep_tracking_control_tpu.env.legged_env import LeggedEnv
     from deep_tracking_control_tpu.runner.train import OnPolicyRunner

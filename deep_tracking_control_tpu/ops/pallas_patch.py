@@ -65,7 +65,7 @@ def extract_patches_pallas(blocks, starts, interpret: bool = False):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_pad // K,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (T, K, PATCH_R, PATCH_C),
                 lambda g, s: (0, g, 0, 0),
@@ -120,7 +120,7 @@ def extract_windows_pallas(blocks, starts, win_r0: int = 16, win_r: int = 40,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_pad // K,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (K, win_r, PATCH_C),
                 lambda g, s: (g, 0, 0),
